@@ -1,0 +1,12 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+Multi-chip TPU hardware is not available in CI; all sharding logic is
+validated on a virtual CPU mesh exactly the way the reference validates
+multi-part logic with fake backends (reference: test/ut/encode_ut.cpp).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
