@@ -1,0 +1,170 @@
+"""atracdenc-compatible command-line driver.
+
+Option surface mirrors the reference CLI (reference: src/main.cpp:490-505 and
+man/atracdenc.1): -e/--encode=codec, -d/--decode, -i, -o, --bitrate,
+--container, --bfuidxconst, --notransient[=mask], --nostdout, --notonal,
+--nogaincontrol, --advanced, --yaml-log, -h.
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+CODECS = ("atrac1", "atrac3", "atrac3_lp4", "atrac3plus")
+
+# codec -> allowed containers (main.cpp:168-194)
+CONTAINER_MATRIX = {
+    "atrac1": {"aea", "raw"},
+    "atrac3": {"oma", "riff", "rm", "raw"},
+    "atrac3_lp4": {"oma", "riff", "rm", "raw"},
+    "atrac3plus": {"oma", "riff", "raw"},
+}
+
+_EXT_CONTAINER = {
+    ".aea": "aea", ".oma": "oma", ".aa3": "oma", ".at3": "riff",
+    ".wav": "riff", ".rm": "rm",
+}
+
+
+def _container_from_ext(path, codec):
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXT_CONTAINER:
+        return _EXT_CONTAINER[ext]
+    return "aea" if codec == "atrac1" else "oma"
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="atracdenc-tpu",
+        description="TPU-native ATRAC1/ATRAC3/ATRAC3+ transcoder")
+    p.add_argument("-e", "--encode", nargs="?", const="atrac1", metavar="codec",
+                   help="encode mode; codec: atrac1 (default), atrac3, atrac3_lp4, atrac3plus")
+    p.add_argument("-d", "--decode", action="store_true",
+                   help="decode mode (ATRAC1 only, like the reference)")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("--bitrate", type=int, default=0, help="kbit/s (ATRAC3)")
+    p.add_argument("--container", choices=("aea", "oma", "riff", "rm", "raw"))
+    p.add_argument("--bfuidxconst", type=int, default=0)
+    p.add_argument("--notransient", nargs="?", const="", metavar="mask")
+    p.add_argument("--nostdout", action="store_true")
+    p.add_argument("--notonal", action="store_true")
+    p.add_argument("--nogaincontrol", action="store_true")
+    p.add_argument("--advanced", default="")
+    p.add_argument("--yaml-log", dest="yaml_log")
+    return p
+
+
+def _merge_channel_planes(planes):
+    """[C, F, ...] planes -> frame-major stream order [F*C, ...]."""
+    out = {}
+    for k, v in planes.items():
+        c, f = v.shape[:2]
+        out[k] = np.swapaxes(np.asarray(v), 0, 1).reshape((c * f,) + v.shape[2:])
+    return out
+
+
+def _split_channel_planes(planes, channels):
+    out = {}
+    for k, v in planes.items():
+        if k == "valid":
+            continue
+        n = v.shape[0] // channels
+        out[k] = v.reshape((n, channels) + v.shape[1:]).swapaxes(0, 1)
+    return out
+
+
+def encode_atrac1(args):
+    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.containers import aea, raw
+    from atracdenc_tpu.models.atrac1 import frame as at1_frame
+    from atracdenc_tpu.models.atrac1.encoder import encode_track
+
+    pcm, rate = wav.read(args.infile)
+    if rate != 44100:
+        sys.exit("Unsupported sample rate. Only 44100Hz is supported now")
+    channels, total = pcm.shape
+
+    if args.bfuidxconst and not (1 <= args.bfuidxconst <= 8):
+        sys.exit("Wrong bfuidxconst value (1...8)")
+
+    window_mode, window_mask = "auto", 0
+    if args.notransient is not None:
+        window_mode = "fixed"
+        window_mask = int(args.notransient) if args.notransient else 0
+
+    if not args.nostdout:
+        print(f"Input file: {args.infile}\n Channels: {channels}\n "
+              f"SampleRate: {rate}\n Duration (sec): {total // rate}")
+
+    planes = encode_track(pcm, bfu_idx_const=args.bfuidxconst,
+                          window_mode=window_mode, window_mask=window_mask)
+    frames = at1_frame.pack(_merge_channel_planes(planes))
+
+    container = args.container or _container_from_ext(args.outfile, "atrac1")
+    if container == "aea":
+        aea.write(args.outfile, frames, channels, total)
+    elif container == "raw":
+        raw.write(args.outfile, frames)
+    else:
+        sys.exit(f"Unsupported container for ATRAC1: {container}")
+
+
+def decode_atrac1(args):
+    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.containers import aea
+    from atracdenc_tpu.models.atrac1 import frame as at1_frame
+    from atracdenc_tpu.models.atrac1.decoder import decode_track
+
+    frames, channels, title, length = aea.read(args.infile)
+    if not args.nostdout:
+        print(f"Input file: {args.infile}\n Name: {title}\n Channels: {channels}")
+    n = (frames.shape[0] // channels) * channels
+    planes = _split_channel_planes(at1_frame.unpack(frames[:n]), channels)
+    pcm = decode_track(planes)
+    if length:
+        pcm = pcm[:, :length]
+    wav.write(args.outfile, pcm, 44100)
+
+
+def encode_atrac3(args, lp4=False):
+    from atracdenc_tpu.models.atrac3.cli_glue import encode_file
+    encode_file(args, lp4=lp4)
+
+
+def encode_atrac3plus(args):
+    from atracdenc_tpu.models.atrac3p.cli_glue import encode_file
+    encode_file(args)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if bool(args.encode) == bool(args.decode):
+        sys.exit("Select mode: encode or decode")
+
+    if args.decode:
+        if not args.infile.lower().endswith(".aea") and args.container not in (None, "aea"):
+            sys.exit("Only ATRAC1 (AEA) decoding is supported, like the reference")
+        decode_atrac1(args)
+        return
+
+    codec = args.encode
+    if codec not in CODECS:
+        sys.exit(f"Unknown codec: {codec}")
+    container = args.container or _container_from_ext(args.outfile, codec)
+    if container not in CONTAINER_MATRIX[codec]:
+        sys.exit(f"Container '{container}' is not supported for {codec}")
+
+    if codec == "atrac1":
+        encode_atrac1(args)
+    elif codec == "atrac3":
+        encode_atrac3(args)
+    elif codec == "atrac3_lp4":
+        encode_atrac3(args, lp4=True)
+    else:
+        encode_atrac3plus(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Mesh construction and sharded batch transcoding.
+
+The reference is strictly single-threaded (SURVEY.md §2.7); scale-out is a
+new capability of this framework:
+
+  * dp ("stream") axis — independent tracks of a transcode corpus;
+  * sp ("sample") axis — a single track's time axis.  Every DSP stage is a
+    strided convolution or frame-local matmul, so XLA's SPMD partitioner
+    shards the time axis with automatic halo exchange over ICI; the loudness
+    recurrence is an associative scan, which shards exactly as well.
+
+All sharding logic is testable on a virtual CPU mesh
+(xla_force_host_platform_device_count) — multi-chip hardware is not required
+for validation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from atracdenc_tpu.models.atrac1.encoder import encode_frames
+
+
+def make_mesh(n_devices=None, dp=None):
+    """Build a (dp, sp) mesh over the first `n_devices` devices."""
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if dp is None:
+        dp = 1
+        for cand in range(int(np.sqrt(n)), 0, -1):
+            if n % cand == 0:
+                dp = cand
+                break
+    sp = n // dp
+    return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
+
+
+def encode_batch(pcm):
+    """[S, C, T] PCM batch -> ATRAC1 frame planes, batched over streams."""
+    return jax.vmap(lambda p: encode_frames(p))(pcm)
+
+
+def encode_batch_sharded(pcm, mesh):
+    """Shard a PCM batch over (stream, time) and encode.
+
+    pcm: [S, C, T] with S % dp == 0 and T % (sp * 512) == 0.
+    """
+    in_sharding = NamedSharding(mesh, P("dp", None, "sp"))
+    out_sharding = NamedSharding(mesh, P("dp"))
+    fn = jax.jit(encode_batch, in_shardings=in_sharding,
+                 out_shardings=out_sharding)
+    return fn(jax.device_put(pcm, in_sharding))
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + run one sharded encode step on tiny shapes (driver hook)."""
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    s = max(2 * dp, dp)
+    t = 512 * 2 * sp
+    rng = np.random.default_rng(0)
+    pcm = (0.25 * rng.standard_normal((s, 2, t))).astype(np.float32)
+    planes = encode_batch_sharded(jnp.asarray(pcm), mesh)
+    jax.block_until_ready(planes)
+    assert planes["wordlen"].shape == (s, 2, t // 512, 52)
