@@ -1,0 +1,232 @@
+"""ATRAC3 rate control as a fixed-schedule vectorized search.
+
+Reference behavior (src/atrac/at3/atrac3_bitstream.cpp:261-760 driven by the
+src/lib/bs_encode/encode.cpp lambda bisection):
+
+  per channel: lambda bisection over [-8, 20] (+-0.01 shrink); at each step
+  CalcBitsAllocation -> per-BFU wordlens, then an inner fixed-point loop that
+  quantizes each used BFU, measures the block energy error and bumps wordlens
+  of the first 10 BFUs (ConsiderEnergyErr); the spectrum cost is
+  min(CLC, VLC) + 3 bits/BFU + 6 bits/used BFU + tonal dry-run cost.  After
+  convergence, a zero-allocated last BFU shrinks NumBfu by one and restarts
+  the bisection (CheckBfus -> EStatus::Repeat).
+
+Here the per-(bfu, wordlen) quantization results are materialized once as a
+[..., 32, 8] cost tensor (the TPU analog of TEncCache), so every bisection
+step is a gather+sum batched over all frames and channels; the shrink rounds
+run under one `lax.while_loop` that exits when no lane shrinks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atracdenc_tpu.ops.quant import quant_blocks
+from . import tables as T
+
+_BISECT_STEPS = 11  # (28 / 2^k - 0.02) <= 0 at k = 11
+_MAX_WL = 8
+
+_ATH = jnp.asarray(T.ath_per_bfu(), jnp.float32)
+_SPECS = jnp.asarray(T.SPECS_PER_BLOCK)
+_FIX = jnp.asarray(T.FIXED_BIT_ALLOC.astype(np.float32))
+_XDIV = jnp.asarray(T.SFI_DIVISOR)
+_BFU_BAND = jnp.asarray(T.BFU_TO_BAND)
+_CLC_LEN = jnp.asarray(T.CLC_LENGTH_TAB)
+_MAXQ = jnp.asarray(T.MAX_QUANT)
+_VLC_BITS = jnp.asarray(T.VLC_BITS)
+_VLC_PAIR_RTAB = jnp.asarray(T.VLC_PAIR_RTAB)
+_IOTA32 = jnp.arange(T.MAX_BFUS)
+
+
+def quant_tensors(scaled, valid_mask):
+    """Materialize per-(bfu, wordlen) quantization results.
+
+    scaled: [..., 32, 128] scaled BFU values; valid_mask [32, 128] bool.
+    Returns dict with
+      mant [..., 32, 8, 128] int32, err [..., 32, 8] (e1/e2),
+      clc  [..., 32, 8] int32 spectrum bits, vlc [..., 32, 8] int32.
+    """
+    x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
+    lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
+    valid = valid_mask[:, None, :]
+    mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
+    ea = jnp.broadcast_to((_IOTA32 > T.LOSY_NAQ_START)[:, None],
+                          lanes.shape[:-1])
+    mant, err = quant_blocks(lanes, valid, mul, ea)
+
+    # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
+    # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
+    wl = jnp.arange(_MAX_WL)
+    clc = jnp.where(wl[None, :] > 1, _CLC_LEN[wl][None, :] * _SPECS[:, None],
+                    _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2))
+    clc = jnp.broadcast_to(clc, mant.shape[:-1]).astype(jnp.int32)
+
+    # VLC cost (atrac3_bitstream.cpp:186-220).
+    m = mant
+    idx_single = jnp.where(m < 0, (-m) * 2, jnp.where(m > 0, m * 2 - 1, 0))
+    sel = jnp.clip(wl - 1, 0, 6)                       # selector-1 per wl lane
+    bits_single = _VLC_BITS[sel[None, :, None], idx_single]
+    vlc_single = jnp.sum(jnp.where(valid, bits_single, 0), axis=-1)
+
+    pairs = m.reshape(m.shape[:-1] + (64, 2))
+    pair_idx = _VLC_PAIR_RTAB[3 * (pairs[..., 0] + 1) + (pairs[..., 1] + 1)]
+    bits_pair = _VLC_BITS[0, pair_idx]
+    pair_valid = valid.reshape(valid.shape[:-1] + (64, 2))[..., 0]
+    vlc_pair = jnp.sum(jnp.where(pair_valid, bits_pair, 0), axis=-1)
+
+    vlc = jnp.where(wl[None, :] == 1, vlc_pair, vlc_single).astype(jnp.int32)
+    return {"mant": mant, "err": err, "clc": clc, "vlc": vlc}
+
+
+def calc_bits_allocation(sfi, gain_scale_frame, energy, spread, shift,
+                         num_bfu, loudness, tonal_bfu_counts):
+    """Vectorized CalcBitsAllocation (atrac3_bitstream.cpp:343-407).
+
+    sfi [..., 32] int, gain_scale_frame [..., 4], energy [..., 32],
+    spread [...], shift [...], num_bfu [...], loudness [...],
+    tonal_bfu_counts [..., 32] int (number of tonal blocks per BFU).
+    Returns wordlens [..., 32] int32 (zero beyond num_bfu).
+    """
+    in_use = _IOTA32 < num_bfu[..., None]
+    gs = jnp.take_along_axis(
+        gain_scale_frame, jnp.broadcast_to(_BFU_BAND, sfi.shape), axis=-1)
+    gs = jnp.where(jnp.isfinite(gs) & (gs > 0), gs, 1.0)
+
+    corrected_energy = energy * gs
+    gated = corrected_energy < _ATH * loudness[..., None]
+
+    csfi = jnp.clip(sfi.astype(jnp.float32) + 1.5 * jnp.log2(gs), 0.0, 63.0)
+    tmp = jnp.trunc(spread[..., None] * (csfi / _XDIV)
+                    + (1.0 - spread[..., None]) * _FIX - shift[..., None])
+    wl = jnp.where(tmp > 7, 7,
+                   jnp.where(tmp < 0, 0,
+                             jnp.where(tmp == 0, 1, tmp))).astype(jnp.int32)
+    wl = jnp.where(gated | ~in_use, 0, wl)
+
+    # tonal discount: one -1 per tonal block mapped to a used BFU while wl>2
+    # (atrac3_bitstream.cpp:396-404; counts>1 keep decrementing)
+    def discount(_, w):
+        return jnp.where(in_use & (tonal_bfu_counts > _) & (w > 2), w - 1, w)
+    max_tc = 3  # a BFU spans <=5-coef runs; more than 3 hits cannot lower wl further
+    wl = jax.lax.fori_loop(0, max_tc, discount, wl)
+    return wl
+
+
+def _spec_cost(wl, qt, num_bfu):
+    """(coding_mode [...], bits [...]) for a given allocation
+    (CalcSpecsBitsConsumption, atrac3_bitstream.cpp:261-298)."""
+    in_use = (_IOTA32 < num_bfu[..., None]) & (wl > 0)
+    clc = jnp.take_along_axis(qt["clc"], wl[..., None], axis=-1)[..., 0]
+    vlc = jnp.take_along_axis(qt["vlc"], wl[..., None], axis=-1)[..., 0]
+    clc_sum = jnp.sum(jnp.where(in_use, clc, 0), axis=-1)
+    vlc_sum = jnp.sum(jnp.where(in_use, vlc, 0), axis=-1)
+    mode = clc_sum <= vlc_sum          # 1 = CLC
+    bits = (3 * num_bfu + 6 * jnp.sum(in_use, axis=-1)
+            + jnp.where(mode, clc_sum, vlc_sum))
+    return mode, bits
+
+
+def _energy_boost(wl, qt, num_bfu):
+    """Fixed-point ConsiderEnergyErr loop (atrac3_bitstream.cpp:312-328,
+    709-712): bump wordlens of the first 10 BFUs while the per-block energy
+    ratio is off, until no lane adjusts."""
+    boostable = _IOTA32 < jnp.minimum(T.BOOST_NAQ_END, num_bfu)[..., None]
+
+    def body(state):
+        w, _ = state
+        err = jnp.take_along_axis(qt["err"], w[..., None], axis=-1)[..., 0]
+        e = jnp.where(w > 0, err, 0.0)
+        cond = (((e > 0) & (e < 0.7)) | (e > 1.2)) & (w < 7) & boostable
+        return jnp.where(cond, w + 1, w), jnp.any(cond)
+
+    def cond(state):
+        return state[1]
+
+    w, _ = jax.lax.while_loop(cond, body, body((wl, True)))
+    return w
+
+
+def _bisect(sfi, gain_scale, energy, spread, num_bfu, loudness,
+            tonal_counts, tonal_bits_fn, qt, target):
+    """One full lambda bisection at a given num_bfu; returns final wordlens
+    (energy-boosted) evaluated at the best under-budget lambda."""
+    shape = num_bfu.shape
+    min_l = jnp.full(shape, -8.0, jnp.float32)
+    max_l = jnp.full(shape, 20.0, jnp.float32)
+    last_l = jnp.full(shape, 20.0, jnp.float32)
+
+    def eval_alloc(shift):
+        wl = calc_bits_allocation(sfi, gain_scale, energy, spread, shift,
+                                  num_bfu, loudness, tonal_counts)
+        wl = _energy_boost(wl, qt, num_bfu)
+        _, bits = _spec_cost(wl, qt, num_bfu)
+        return wl, bits + tonal_bits_fn(wl)
+
+    def step(_, carry):
+        min_l, max_l, last_l = carry
+        active = max_l > min_l
+        cur = (max_l + min_l) * 0.5
+        _, bits = eval_alloc(cur)
+        under = bits < target
+        over = bits > target
+        exact = ~under & ~over
+        last_l = jnp.where(active & (under | exact), cur, last_l)
+        max_l = jnp.where(active & under, cur - 0.01, max_l)
+        min_l = jnp.where(active & over, cur + 0.01, min_l)
+        max_l = jnp.where(active & exact, min_l, max_l)
+        return min_l, max_l, last_l
+
+    min_l, max_l, last_l = jax.lax.fori_loop(
+        0, _BISECT_STEPS, step, (min_l, max_l, last_l))
+    wl, _ = eval_alloc(last_l)
+    return wl
+
+
+def allocate(qt, sfi, gain_scale, energy, spread, loudness,
+             target_bits, tonal_counts=None, tonal_bits_fn=None,
+             bfu_idx_const=0):
+    """Full rate control for a batch of channel-frames.
+
+    qt: precomputed quant tensors (see quant_tensors).
+    sfi [..., 32], gain_scale [..., 4] (frame energy scale per band),
+    energy [..., 32], spread [...], loudness [...] (Loudness/LoudFactor),
+    target_bits [...] int32.
+    tonal_bits_fn(wl) -> [...] tonal section cost for an allocation
+    (defaults to the constant 5-bit empty-tonal header).
+    Returns (num_bfu [...], coding_mode [...] bool (1=CLC), wordlen [..., 32]).
+    """
+    if tonal_counts is None:
+        tonal_counts = jnp.zeros(sfi.shape, jnp.int32)
+    if tonal_bits_fn is None:
+        tonal_bits_fn = lambda wl: jnp.asarray(5, jnp.int32)
+
+    init = bfu_idx_const if bfu_idx_const else 32
+    lim = jnp.where(target_bits > 5,
+                    jnp.maximum(1, (target_bits - 5) // 3), 1)
+    num_bfu = jnp.where(target_bits < 101,
+                        jnp.minimum(init, lim),
+                        jnp.asarray(init)).astype(jnp.int32)
+    num_bfu = jnp.maximum(num_bfu, 1)
+
+    def one_round(num_bfu):
+        wl = _bisect(sfi, gain_scale, energy, spread, num_bfu, loudness,
+                     tonal_counts, tonal_bits_fn, qt, target_bits)
+        last = jnp.take_along_axis(wl, (num_bfu - 1)[..., None],
+                                   axis=-1)[..., 0]
+        shrink = (last == 0) & (num_bfu > 1) & (bfu_idx_const == 0)
+        return wl, shrink
+
+    def body(state):
+        num_bfu, _, _ = state
+        wl, shrink = one_round(num_bfu)
+        return jnp.where(shrink, num_bfu - 1, num_bfu), wl, shrink
+
+    def cond(state):
+        return jnp.any(state[2])
+
+    wl0, shrink0 = one_round(num_bfu)
+    state = (jnp.where(shrink0, num_bfu - 1, num_bfu), wl0, shrink0)
+    num_bfu, wl, _ = jax.lax.while_loop(cond, body, state)
+
+    mode, _ = _spec_cost(wl, qt, num_bfu)
+    return num_bfu, mode, wl

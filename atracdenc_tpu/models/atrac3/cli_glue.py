@@ -1,0 +1,64 @@
+"""File-level ATRAC3 encode path for the CLI driver.
+
+Mirrors PrepareAtrac3Encoder + the pump loop (reference: src/main.cpp:367-424,
+656-687): bitrate in kbit/s scales by 1024, container auto-selected from the
+output extension, OMA/RIFF/RM/RAW writers.
+"""
+import sys
+
+from . import tables as T
+
+
+def encode_file(args, lp4=False):
+    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.containers import oma, at3, rm, raw
+    from . import frame as at3_frame
+    from .encoder import encode_track
+
+    pcm, rate = wav.read(args.infile)
+    if rate != 44100:
+        sys.exit("Unsupported sample rate. Only 44100Hz is supported now")
+    channels = pcm.shape[0]
+
+    bitrate_kbit = 64 if lp4 else args.bitrate
+    bitrate, frame_size, js = T.container_params_for_bitrate(
+        bitrate_kbit * 1024)
+
+    if args.bfuidxconst and not (1 <= args.bfuidxconst <= 32):
+        sys.exit("Wrong bfuidxconst value (1...32)")
+
+    if js:
+        sys.exit("ATRAC3 joint-stereo modes are not implemented yet "
+                 "(bitrates <= 96 kbit/s); use --bitrate 128 or higher")
+    if not (args.nogaincontrol and args.notonal):
+        # staged: gain control / tonal components land in follow-up commits
+        pass
+
+    if not args.nostdout:
+        print(f"Input file: {args.infile}\n Channels: {channels}\n "
+              f"SampleRate: {rate}\n Bitrate: {bitrate}")
+
+    planes = encode_track(pcm, frame_bytes=frame_size, js=js,
+                          no_gain_control=True, no_tonal=True,
+                          bfu_idx_const=args.bfuidxconst)
+    frames = at3_frame.pack(planes, frame_size, js=js)
+
+    import os
+    container = args.container
+    if container is None:
+        ext = os.path.splitext(args.outfile)[1].lower()
+        container = {".oma": "oma", ".aa3": "oma", ".wav": "riff",
+                     ".at3": "riff", ".rm": "rm"}.get(ext, "oma")
+
+    if container == "oma":
+        oma.write(args.outfile, frames, oma.CODEC_ATRAC3, frame_size,
+                  channels=channels, joint_stereo=js)
+    elif container == "riff":
+        at3.write_at3(args.outfile, frames, frame_size, joint_stereo=js)
+    elif container == "rm":
+        rm.write(args.outfile, frames, frame_size, channels=channels,
+                 joint_stereo=js)
+    elif container == "raw":
+        raw.write(args.outfile, frames)
+    else:
+        sys.exit(f"Unsupported container for ATRAC3: {container}")

@@ -1,0 +1,142 @@
+"""ATRAC3 encoder: whole-track, batched, jit-compiled.
+
+Pipeline per channel (reference call stack: src/atrac3denc.cpp:679-867):
+  QMF analysis (4 bands) -> [gain control] -> windowed MDCT with gain
+  modulation -> loudness tracking (scan) -> [tonal extraction] ->
+  block-floating scale -> lambda-bisection bit allocation -> mantissas.
+Output is a set of fixed-shape integer planes; host code (frame.py)
+serializes them into the fixed-size sound units.
+
+The one-frame lookahead of the reference (LOOK_AHEAD priming,
+atrac3denc.cpp:715-718) exists only because of its streaming gain analysis
+window; in whole-track form every frame sees its neighbors directly.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atracdenc_tpu.ops import psy, scale as scale_ops
+from . import tables as T
+from . import filterbank
+from .mdct import mdct_frames, gain_divisors, first_level_scale
+from .bitalloc import quant_tensors, allocate
+
+_LOUD_CURVE = jnp.asarray(psy.create_loudness_curve(1024))
+_GATHER_IDX = jnp.asarray(T.GATHER_IDX)
+_GATHER_MASK = jnp.asarray(T.GATHER_MASK)
+_SCALE_TABLE = jnp.asarray(T.SCALE_TABLE)
+
+
+def band_frames(pcm):
+    """[C, T] PCM -> [C, F, 4, 256] band samples (input scaled by 1/4,
+    reference atrac3denc.cpp:703-705)."""
+    c, t = pcm.shape
+    f = t // T.NUM_SAMPLES
+    bands = filterbank.analysis(pcm * 0.25)          # [C, 4, T/4]
+    return jnp.swapaxes(bands.reshape(c, 4, f, 256), 1, 2)
+
+
+def gather_bfu_blocks(specs):
+    """[..., 1024] spectra -> padded BFU blocks [..., 32, 128]."""
+    flat = _GATHER_IDX.reshape(-1)
+    vals = jnp.take_along_axis(
+        specs, jnp.broadcast_to(flat, specs.shape[:-1] + flat.shape), axis=-1)
+    return vals.reshape(specs.shape[:-1] + (T.MAX_BFUS, 128)) * _GATHER_MASK
+
+
+def spread_from_sfi(sfi):
+    """AnalizeScaleFactorSpread over all 32 blocks
+    (atrac_psy_common.cpp:101-124)."""
+    mean = jnp.mean(sfi.astype(jnp.float32), axis=-1)
+    var = jnp.mean((sfi - mean[..., None]) ** 2, axis=-1)
+    return jnp.minimum(jnp.sqrt(var), 14.0) / 14.0
+
+
+@partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
+                                   "no_tonal", "bfu_idx_const"))
+def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
+                  no_tonal=True, bfu_idx_const=0):
+    """Encode [C, T] PCM (T multiple of 1024) into ATRAC3 frame planes.
+
+    Gain control and tonal components are staged in follow-up commits; the
+    current planes match the reference's --nogaincontrol --notonal mode.
+
+    Returns dict of planes (per channel, per frame):
+      num_bfu [C, F], coding_mode [C, F] (1 = CLC), wordlen [C, F, 32],
+      sfi [C, F, 32], mant [C, F, 32, 128], gain_npoints [C, F, 4],
+      gain_levels/gain_locs [C, F, 4, 8], loudness [F].
+    """
+    del no_gain_control, no_tonal  # phase A: always off
+    c, t = pcm.shape
+    f = t // T.NUM_SAMPLES
+
+    bands = band_frames(pcm)                         # [C, F, 4, 256]
+
+    # empty gain curves (SubbandInfo with 4 bands, 0 points each)
+    gain_npoints = jnp.zeros((c, f, 4), jnp.int32)
+    gain_levels = jnp.zeros((c, f, 4, 8), jnp.int32)
+    gain_locs = jnp.zeros((c, f, 4, 8), jnp.int32)
+    gain_scale_frame = jnp.ones((c, f, 4), jnp.float32)
+
+    specs = mdct_frames(bands)                       # [C, F, 1024]
+
+    # loudness IIR (atrac3denc.cpp:811-841): stereo non-JS averages both
+    # channels; mono and JS use channel 0 only.
+    frame_loud = jnp.sum(specs * specs * _LOUD_CURVE, axis=-1)  # [C, F]
+    if c == 2 and not js:
+        loud = psy.track_loudness_scan(
+            frame_loud[0], frame_loud[1], jnp.ones((f,), bool),
+            jnp.zeros((f,), bool), T.LOUD_FACTOR)
+    else:
+        loud = psy.track_loudness_scan(
+            frame_loud[0], jnp.zeros((f,)), jnp.zeros((f,), bool),
+            jnp.ones((f,), bool), T.LOUD_FACTOR)
+    loudness = loud / T.LOUD_FACTOR                  # [F], shared by channels
+
+    blocks = gather_bfu_blocks(specs)                # [C, F, 32, 128]
+    sfi, scaled, energy = scale_ops.scale_blocks(
+        blocks, _GATHER_MASK, _SCALE_TABLE)
+    spread = spread_from_sfi(sfi)
+
+    # per-channel bit budget (WriteSoundUnit, atrac3_bitstream.cpp:830-892):
+    # halfFrameSz*8 - 6 (numBlocks+codingMode) - header/gain-info bits
+    header_bits = 6 + 2 + jnp.sum(
+        3 + gain_npoints * 9, axis=-1)               # [C, F]
+    target = (8 * (frame_bytes // 2) - 6 - header_bits).astype(jnp.int32)
+
+    qt = quant_tensors(scaled, _GATHER_MASK)
+    num_bfu, mode, wl = allocate(
+        qt, sfi, gain_scale_frame, energy, spread,
+        jnp.broadcast_to(loudness, (c, f)), target,
+        bfu_idx_const=bfu_idx_const)
+
+    mant = jnp.take_along_axis(
+        qt["mant"], wl[..., None, None], axis=-2)[..., 0, :]
+
+    return {
+        "num_bfu": num_bfu.astype(jnp.int32),
+        "coding_mode": mode,
+        "wordlen": wl,
+        "sfi": sfi,
+        "mant": mant,
+        "gain_npoints": gain_npoints,
+        "gain_levels": gain_levels,
+        "gain_locs": gain_locs,
+        "loudness": loudness,
+    }
+
+
+def encode_track(pcm: np.ndarray, frame_bytes=384, js=False,
+                 no_gain_control=True, no_tonal=True, bfu_idx_const=0):
+    """NumPy convenience wrapper: pads to a whole number of frames."""
+    pcm = np.atleast_2d(np.asarray(pcm, np.float32))
+    c, t = pcm.shape
+    pad = (-t) % T.NUM_SAMPLES
+    if pad:
+        pcm = np.pad(pcm, ((0, 0), (0, pad)))
+    planes = encode_frames(jnp.asarray(pcm), frame_bytes=frame_bytes, js=js,
+                           no_gain_control=no_gain_control, no_tonal=no_tonal,
+                           bfu_idx_const=bfu_idx_const)
+    return {k: np.asarray(v) for k, v in planes.items()}

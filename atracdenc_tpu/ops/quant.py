@@ -1,0 +1,103 @@
+"""Mantissa quantization with optional energy-adjusted rounding ("EA").
+
+Batched reformulation of the reference QuantMantisas (reference:
+src/atrac/atrac_scale.cpp:40-130): round-half-even quantization plus, in EA
+mode, a greedy pass over borderline values (|frac - 0.5| < 0.25) sorted by
+distance to the rounding boundary, flipping individual roundings while that
+moves the quantized block energy toward the original energy.
+
+The greedy pass is a true sequential dependence (each accepted flip changes
+the running energy), so it runs as a `lax.scan` over the sorted candidate
+axis with the running energy as carry — one fused scan for every
+(channel, frame, bfu, wordlen) lane at once.
+"""
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quant_blocks"]
+
+
+def _round_energy(scaled, valid, mul):
+    """Plain ToInt quantization + energies.
+
+    scaled: [..., L]; valid: [..., L] bool; mul: scalar or [...] multiplier.
+    Returns (mant int32 [..., L], e1 [...], e2 [...]).
+    """
+    t = scaled * mul[..., None]
+    mant = jnp.round(t).astype(jnp.int32)
+    mant = jnp.where(valid, mant, 0)
+    inv2 = 1.0 / (mul * mul)
+    e1 = jnp.sum(jnp.where(valid, scaled * scaled, 0.0), axis=-1)
+    m2 = (mant * mant).astype(scaled.dtype)
+    e2 = jnp.sum(jnp.where(valid, m2, 0.0), axis=-1) * inv2
+    return mant, e1, e2
+
+
+def quant_blocks(scaled, valid, mul, ea_mask):
+    """Quantize padded blocks at a given multiplier, with EA where masked.
+
+    scaled:  [..., L] block values in (-1, 1) (padding must be 0)
+    valid:   [..., L] bool
+    mul:     [...] float multiplier (MaxQuant[wordlen]); 0 -> all-zero output
+    ea_mask: [...] bool — lanes using energy-adjusted rounding
+
+    Returns (mant [..., L] int32, err [...]) where err = e1/e2 evaluated in
+    float32 exactly like the reference (inf/nan propagate the same way).
+    """
+    t = scaled * mul[..., None]
+    mant, e1, e2 = _round_energy(scaled, valid, mul)
+    inv2 = jnp.where(mul > 0, 1.0 / (mul * mul), 0.0)
+
+    # EA candidates: |t - (trunc(t) + 0.5)| < 0.25 (atrac_scale.cpp:66-73)
+    delta = t - (jnp.trunc(t) + 0.5)
+    cand = valid & (jnp.abs(delta) < 0.25) & ea_mask[..., None] & (mul > 0)[..., None]
+
+    # Sort candidates by |delta| ascending; non-candidates sort to the end.
+    sort_key = jnp.where(cand, jnp.abs(delta), jnp.inf)
+    order = jnp.argsort(sort_key, axis=-1)
+    inv_order = jnp.argsort(order, axis=-1)
+
+    def g(x):
+        return jnp.take_along_axis(x, order, axis=-1)
+
+    t_s = g(t)
+    m_s = g(mant)
+    cand_s = g(cand)
+    abs_t = jnp.abs(t_s)
+    abs_m = jnp.abs(m_s).astype(scaled.dtype)
+
+    up = e2 < e1   # branch fixed before the pass (atrac_scale.cpp:85,107)
+    dn = e2 > e1
+
+    # Proposed flipped mantissa per candidate (away from 0 when up-branch,
+    # toward 0 when down-branch).
+    m_up = jnp.where(m_s > 0, m_s + 1, jnp.where(m_s < 0, m_s - 1,
+                     jnp.where(t_s > 0, 1, -1)))
+    m_dn = jnp.where(m_s > 0, m_s - 1, jnp.where(m_s < 0, m_s + 1, m_s))
+    m_new = jnp.where(up[..., None], m_up, m_dn)
+
+    elig_up = (abs_m < abs_t) & (abs_m < (mul - 1.0)[..., None])
+    elig_dn = abs_m > abs_t
+    elig = cand_s & jnp.where(up[..., None], elig_up,
+                              jnp.where(dn[..., None], elig_dn, False))
+
+    # e2 update terms, applied in the reference's exact float order:
+    # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121)
+    a = (m_s * m_s).astype(scaled.dtype) * inv2[..., None]
+    b = (m_new * m_new).astype(scaled.dtype) * inv2[..., None]
+
+    def step(e2_run, xs):
+        elig_k, a_k, b_k = xs
+        ex = (e2_run - a_k) + b_k
+        accept = elig_k & (jnp.abs(ex - e1) < jnp.abs(e2_run - e1))
+        return jnp.where(accept, ex, e2_run), accept
+
+    e2_fin, accept = jax.lax.scan(
+        step, e2, (jnp.moveaxis(elig, -1, 0), jnp.moveaxis(a, -1, 0),
+                   jnp.moveaxis(b, -1, 0)))
+    accept = jnp.moveaxis(accept, 0, -1)
+
+    mant_s = jnp.where(accept, m_new, m_s)
+    mant = jnp.take_along_axis(mant_s, inv_order, axis=-1)
+    err = e1 / e2_fin
+    return jnp.where(valid, mant, 0), err
