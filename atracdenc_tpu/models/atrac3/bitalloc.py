@@ -160,7 +160,7 @@ def _bisect(sfi, gain_scale, energy, spread, num_bfu, loudness,
                                   num_bfu, loudness, tonal_counts)
         wl = _energy_boost(wl, qt, num_bfu)
         _, bits = _spec_cost(wl, qt, num_bfu)
-        return wl, bits + tonal_bits_fn(wl)
+        return wl, bits + tonal_bits_fn(wl, num_bfu)
 
     def step(_, carry):
         min_l, max_l, last_l = carry
@@ -198,7 +198,7 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
     if tonal_counts is None:
         tonal_counts = jnp.zeros(sfi.shape, jnp.int32)
     if tonal_bits_fn is None:
-        tonal_bits_fn = lambda wl: jnp.asarray(5, jnp.int32)
+        tonal_bits_fn = lambda wl, num_bfu: jnp.asarray(5, jnp.int32)
 
     init = bfu_idx_const if bfu_idx_const else 32
     lim = jnp.where(target_bits > 5,

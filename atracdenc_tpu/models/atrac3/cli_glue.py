@@ -30,16 +30,14 @@ def encode_file(args, lp4=False):
     if js:
         sys.exit("ATRAC3 joint-stereo modes are not implemented yet "
                  "(bitrates <= 96 kbit/s); use --bitrate 128 or higher")
-    if not (args.nogaincontrol and args.notonal):
-        # staged: gain control / tonal components land in follow-up commits
-        pass
 
     if not args.nostdout:
         print(f"Input file: {args.infile}\n Channels: {channels}\n "
               f"SampleRate: {rate}\n Bitrate: {bitrate}")
 
     planes = encode_track(pcm, frame_bytes=frame_size, js=js,
-                          no_gain_control=True, no_tonal=True,
+                          no_gain_control=True,  # staged: gain control WIP
+                          no_tonal=args.notonal,
                           bfu_idx_const=args.bfuidxconst)
     frames = at3_frame.pack(planes, frame_size, js=js)
 

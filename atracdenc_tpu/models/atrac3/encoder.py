@@ -20,6 +20,7 @@ import numpy as np
 from atracdenc_tpu.ops import psy, scale as scale_ops
 from . import tables as T
 from . import filterbank
+from . import tonal
 from .mdct import mdct_frames, gain_divisors, first_level_scale
 from .bitalloc import quant_tensors, allocate
 
@@ -68,7 +69,7 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
       sfi [C, F, 32], mant [C, F, 32, 128], gain_npoints [C, F, 4],
       gain_levels/gain_locs [C, F, 4, 8], loudness [F].
     """
-    del no_gain_control, no_tonal  # phase A: always off
+    del no_gain_control  # gain control lands in a follow-up commit
     c, t = pcm.shape
     f = t // T.NUM_SAMPLES
 
@@ -95,6 +96,19 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
             jnp.ones((f,), bool), T.LOUD_FACTOR)
     loudness = loud / T.LOUD_FACTOR                  # [F], shared by channels
 
+    # tonal component extraction (atrac3denc.cpp:822-827); flatness and
+    # loudness both use the pre-extraction spectrum
+    if no_tonal:
+        tonal_planes = None
+        tonal_counts = None
+        tonal_bits_fn = None
+    else:
+        flat = tonal.flatness_per_bfu(specs * specs)
+        specs, tp = tonal.extract(specs, flat)
+        tonal_planes = tonal.scale_groups(tp)
+        tonal_counts = tonal_planes["active"].astype(jnp.int32)
+        tonal_bits_fn = tonal.make_cost_fn(tonal_planes)
+
     blocks = gather_bfu_blocks(specs)                # [C, F, 32, 128]
     sfi, scaled, energy = scale_ops.scale_blocks(
         blocks, _GATHER_MASK, _SCALE_TABLE)
@@ -110,12 +124,13 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
     num_bfu, mode, wl = allocate(
         qt, sfi, gain_scale_frame, energy, spread,
         jnp.broadcast_to(loudness, (c, f)), target,
+        tonal_counts=tonal_counts, tonal_bits_fn=tonal_bits_fn,
         bfu_idx_const=bfu_idx_const)
 
     mant = jnp.take_along_axis(
         qt["mant"], wl[..., None, None], axis=-2)[..., 0, :]
 
-    return {
+    out = {
         "num_bfu": num_bfu.astype(jnp.int32),
         "coding_mode": mode,
         "wordlen": wl,
@@ -126,6 +141,18 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
         "gain_locs": gain_locs,
         "loudness": loudness,
     }
+    if tonal_planes is not None:
+        active = tonal_planes["active"] & (
+            jnp.arange(T.MAX_BFUS) < num_bfu[..., None])
+        quant = jnp.clip(jnp.where(active, wl + 4, 0), 2, 7)
+        out["tonal_active"] = active
+        out["tonal_start"] = tonal_planes["start"]
+        out["tonal_len"] = tonal_planes["len"]
+        out["tonal_sfi"] = tonal_planes["sfi"]
+        out["tonal_quant"] = jnp.where(active, quant, 0)
+        out["tonal_mant"] = jnp.take_along_axis(
+            tonal_planes["mant"], quant[..., None, None], axis=-2)[..., 0, :]
+    return out
 
 
 def encode_track(pcm: np.ndarray, frame_bytes=384, js=False,

@@ -22,7 +22,9 @@ from . import tables as T
 _MAXLEN = T.MAX_SPECS_PER_BLOCK           # 128
 _N_HEAD = 2                               # id, numQmf
 _N_GAIN = 4 * (1 + 8 * 2)                 # per band: count + 8 (level, loc)
-_N_TONAL = 1                              # empty tonal header (phase: no tonal)
+# tonal section: tcsgn + mode + up to 21 subgroups x (4 flags + 2 fields +
+# 16 window counts) + 21 members x (sfi + rel + 5 VLC values) -> 512 slots
+_N_TONAL = 512
 _N_BLOCKHDR = 2                           # numBlocks-1, codingMode
 _N_FIELDS = _N_HEAD + _N_GAIN + _N_TONAL + _N_BLOCKHDR + 32 + 32 + 32 * _MAXLEN
 
@@ -35,6 +37,70 @@ def _vlc_lookup(mant, wl):
     idx = np.where(mant < 0, -mant * 2, np.where(mant > 0, mant * 2 - 1, 0))
     sel = np.clip(wl - 1, 0, 6)
     return T.VLC_CODE[sel[..., None], idx], T.VLC_BITS[sel[..., None], idx]
+
+
+def _tonal_section(groups):
+    """One frame-channel's tonal groups -> [(value, width), ...] fields.
+
+    groups: list of dicts {bfu, pos, len, sfi, quant, mant[len]} in BFU
+    order.  Mirrors GroupTonalComponents + EncodeTonalComponents
+    (atrac3_bitstream.cpp:409-595); coding mode is fixed to VLC (:484-487).
+    """
+    buckets = [[] for _ in range(64)]
+    for g in groups:
+        buckets[g["quant"] * 8 + g["len"]].append(g)
+
+    # subgroup split per bucket (the 64-line-window limiter walk, :427-449)
+    subgroups = []   # (bucket_idx, members)
+    for i in range(64):
+        ptr = buckets[i]
+        cur = 0
+        while cur < len(ptr):
+            start = cur
+            anchor = cur
+            limiter = 0
+            while True:
+                cur += 1
+                if cur == len(ptr):
+                    break
+                if ptr[cur]["pos"] - (ptr[anchor]["pos"] & ~63) < 64:
+                    limiter += 1
+                else:
+                    limiter = 0
+                    anchor = cur
+                if limiter >= 7:
+                    break
+            subgroups.append((i, ptr[start:cur]))
+
+    fields = [(len(subgroups), 5)]
+    if not subgroups:
+        return fields
+    fields.append((0, 2))                     # coding mode: all VLC
+
+    for i, members in subgroups:
+        quant = i >> 3
+        counts = [0] * 16
+        for m in members:
+            counts[m["pos"] >> 6] += 1
+        band_any = [any(counts[4 * b: 4 * b + 4]) for b in range(4)]
+        for b in range(4):
+            fields.append((int(band_any[b]), 1))
+        fields.append(((i & 7) - 1, 3))       # codedValues - 1
+        fields.append((quant, 3))
+        k = 0
+        for j in range(16):
+            if not band_any[j >> 2]:
+                continue
+            fields.append((counts[j], 3))
+            for m in members[k: k + counts[j]]:
+                fields.append((m["sfi"], 6))
+                fields.append((m["pos"] - j * 64, 6))
+                for v in m["mant"]:
+                    idx = (-v) * 2 if v < 0 else (v * 2 - 1 if v > 0 else 0)
+                    code, bits = T.HUFF_TABLES[quant - 1][idx]
+                    fields.append((code, bits))
+            k += counts[j]
+    return fields
 
 
 def pack_channel(planes) -> tuple:
@@ -83,10 +149,30 @@ def pack_channel(planes) -> tuple:
             widths[:, pos + 1] = np.where(active, 5, 0)
             pos += 2
 
-    # empty tonal section: component-group count 0 (EncodeTonalComponents)
-    values[:, pos] = 0
-    widths[:, pos] = 5
-    pos += 1
+    # tonal section (empty -> single 5-bit zero count)
+    if "tonal_active" in planes:
+        t_act = np.asarray(planes["tonal_active"], bool)
+        t_start = np.asarray(planes["tonal_start"], np.int64)
+        t_len = np.asarray(planes["tonal_len"], np.int64)
+        t_sfi = np.asarray(planes["tonal_sfi"], np.int64)
+        t_quant = np.asarray(planes["tonal_quant"], np.int64)
+        t_mant = np.asarray(planes["tonal_mant"], np.int64)
+        for fi in range(n):
+            groups = [
+                {"bfu": b, "pos": int(t_start[fi, b]),
+                 "len": int(t_len[fi, b]), "sfi": int(t_sfi[fi, b]),
+                 "quant": int(t_quant[fi, b]),
+                 "mant": t_mant[fi, b, : t_len[fi, b]].tolist()}
+                for b in range(32) if t_act[fi, b]]
+            fields = _tonal_section(groups)
+            assert len(fields) <= _N_TONAL, "tonal field slots exceeded"
+            for k, (v, w) in enumerate(fields):
+                values[fi, pos + k] = v
+                widths[fi, pos + k] = w
+    else:
+        values[:, pos] = 0
+        widths[:, pos] = 5
+    pos += _N_TONAL
 
     values[:, pos] = num_bfu - 1
     widths[:, pos] = 5

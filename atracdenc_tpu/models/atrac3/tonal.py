@@ -1,0 +1,215 @@
+"""ATRAC3 tonal components: extraction, rate-control cost, serialization.
+
+Reference behavior:
+  * spectral flatness per BFU gates extraction (atrac_psy_common.cpp:158-199,
+    threshold 0.01 in atrac3denc.cpp:585);
+  * per gated BFU in [8, 29) the best run of <=5 coefficients by cumulative
+    |spec| is lifted out of the spectrum (ExtractTonalComponents,
+    atrac3denc.cpp:581-643) and scaled as its own block
+    (MapTonalComponents, :646-662) — runs are <=5 < 7, so each tonal BFU
+    yields exactly one coded group;
+  * during rate control the tonal section is costed per candidate allocation
+    (quantizer = clamp(alloc[bfu]+4, 2, 7)), with groups bucketed by
+    (quantizer, length) and split into subgroups by the 64-line-window
+    "limiter" walk (GroupTonalComponents/EncodeTonalComponents,
+    atrac3_bitstream.cpp:409-595).
+
+Extraction is fully batched; the subgroup walk is a 32-step `lax.scan`
+vectorized over the 42 (quantizer, length) buckets and all frames at once.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atracdenc_tpu.ops import scale as scale_ops
+from . import tables as T
+
+FLATNESS_THRESHOLD = 0.01
+MAX_TONAL_LEN = 5
+TONAL_BFU_FIRST = 8
+TONAL_BFU_LAST = 29          # exclusive
+_VLC_BITS = jnp.asarray(T.VLC_BITS)
+_IOTA32 = jnp.arange(32)
+
+
+def flatness_per_bfu(mdct_energy, energy_floor=1e-12):
+    """[..., 1024] per-line energies -> [..., 32] geometric/arithmetic-mean
+    ratios (CalcSpectralFlatnessPerBfu)."""
+    idx = jnp.asarray(T.GATHER_IDX.reshape(-1))
+    vals = jnp.take_along_axis(
+        mdct_energy, jnp.broadcast_to(idx, mdct_energy.shape[:-1] + idx.shape),
+        axis=-1).reshape(mdct_energy.shape[:-1] + (32, 128))
+    mask = jnp.asarray(T.GATHER_MASK)
+    floor = max(energy_floor, 1e-20)
+    e = jnp.maximum(vals, 0.0)
+    n = jnp.asarray(T.SPECS_PER_BLOCK, jnp.float32)
+    arith = jnp.sum(jnp.where(mask, e, 0.0), axis=-1) / n
+    mean_log = jnp.sum(jnp.where(mask, jnp.log(jnp.maximum(e, floor)), 0.0),
+                       axis=-1) / n
+    geom = jnp.exp(mean_log)
+    ratio = jnp.clip(geom / arith, 0.0, 1.0)
+    return jnp.where(arith <= floor, 1.0, ratio)
+
+
+def extract(specs, flatness):
+    """Lift the best tonal run out of each gated BFU.
+
+    specs [..., 1024], flatness [..., 32].
+    Returns (specs_out, planes) where planes holds per-BFU group data:
+      active [..., 32] bool, start [..., 32] (absolute line), len [..., 32],
+      values [..., 32, 5] (raw spec values; zero beyond len).
+    """
+    gate = (flatness < FLATNESS_THRESHOLD) \
+        & (_IOTA32 >= TONAL_BFU_FIRST) & (_IOTA32 < TONAL_BFU_LAST)
+
+    idx = jnp.asarray(T.GATHER_IDX.reshape(-1))
+    blocks = jnp.take_along_axis(
+        specs, jnp.broadcast_to(idx, specs.shape[:-1] + idx.shape),
+        axis=-1).reshape(specs.shape[:-1] + (32, 128))
+    absb = jnp.abs(blocks) * jnp.asarray(T.GATHER_MASK)
+
+    # score[start, len] = sum_{k < len} |spec[start+k]| via shifted cumsums;
+    # out-of-block (start+len > blockLen) candidates are invalid.
+    cum = jnp.cumsum(absb, axis=-1)                       # [..., 32, 128]
+    pad = jnp.pad(cum, [(0, 0)] * (cum.ndim - 1) + [(1, 0)])
+    lens = jnp.arange(1, MAX_TONAL_LEN + 1)
+    starts = jnp.arange(128)
+    # score[..., start, L-1] = cum[start+L-1] - cum[start-1]
+    end_idx = jnp.minimum(starts[:, None] + lens[None, :], 128)
+    score = (jnp.take_along_axis(
+        pad, jnp.broadcast_to(end_idx.reshape(-1), pad.shape[:-1] + (640,)),
+        axis=-1).reshape(pad.shape[:-1] + (128, 5))
+        - pad[..., :-1][..., :, None])
+    valid = (starts[:, None] + lens[None, :]
+             <= jnp.asarray(T.SPECS_PER_BLOCK)[:, None, None])
+    score = jnp.where(valid, score, -1.0)
+
+    # C picks the first strictly-greater (start asc, len asc) -> row-major
+    # argmax matches the iteration order (atrac3denc.cpp:610-621)
+    flat = score.reshape(score.shape[:-2] + (-1,))
+    best = jnp.argmax(flat, axis=-1)
+    best_score = jnp.take_along_axis(flat, best[..., None], axis=-1)[..., 0]
+    best_start = best // MAX_TONAL_LEN                    # within block
+    best_len = best % MAX_TONAL_LEN + 1
+
+    active = gate & (best_score > 0.0)
+    start_abs = jnp.asarray(T.SPECS_START) + best_start
+    ln = jnp.where(active, best_len, 0)
+
+    # gather values and zero them out of the spectrum
+    offs = jnp.arange(MAX_TONAL_LEN)
+    pos = start_abs[..., None] + offs                     # [..., 32, 5]
+    in_run = active[..., None] & (offs < ln[..., None])
+    gather_pos = jnp.where(in_run, pos, 0)
+    vals = jnp.take_along_axis(
+        specs, gather_pos.reshape(specs.shape[:-1] + (-1,)),
+        axis=-1).reshape(pos.shape)
+    vals = jnp.where(in_run, vals, 0.0)
+
+    # zero the lifted runs out of the spectrum (atrac3denc.cpp:635-639)
+    line = jnp.arange(1024)
+    run_start = jnp.where(active, start_abs, 2048)
+    hit = (line >= run_start[..., None]) \
+        & (line < (run_start + ln)[..., None])            # [..., 32, 1024]
+    specs_out = jnp.where(jnp.any(hit, axis=-2), 0.0, specs)
+
+    planes = {"active": active, "start": start_abs * active,
+              "len": ln, "values": vals}
+    return specs_out, planes
+
+
+def scale_groups(planes):
+    """Scale tonal groups like MapTonalComponents: per-group block float.
+
+    Returns planes extended with sfi [..., 32] and vlc_cost [..., 32, 8]
+    (VLC spectrum bits at each quantizer 0..7; only 2..7 used)."""
+    vals = planes["values"]
+    in_run = jnp.arange(MAX_TONAL_LEN) < planes["len"][..., None]
+    sfi, scaled, _ = scale_ops.scale_blocks(
+        vals, jnp.ones_like(vals, bool), jnp.asarray(T.SCALE_TABLE))
+    # padding is zero so it does not affect maxabs; mask scaled anyway
+    scaled = scaled * in_run
+
+    # mantissas per quantizer: plain lrint, no EA (atrac3_bitstream.cpp:576)
+    q = jnp.arange(8)
+    mant = jnp.round(scaled[..., None, :]
+                     * jnp.asarray(T.MAX_QUANT)[:, None]).astype(jnp.int32)
+    idx = jnp.where(mant < 0, -mant * 2, jnp.where(mant > 0, mant * 2 - 1, 0))
+    sel = jnp.clip(q - 1, 0, 6)
+    bits = _VLC_BITS[sel[None, :, None], idx]
+    vlc = jnp.sum(jnp.where(in_run[..., None, :], bits, 0), axis=-1)
+    planes = dict(planes)
+    planes["sfi"] = sfi
+    planes["vlc_cost"] = vlc.astype(jnp.int32)
+    planes["mant"] = mant
+    return planes
+
+
+def make_cost_fn(planes):
+    """Build tonal_bits_fn(alloc_wl) -> [...] section bits for the rate
+    control (EncodeTonalComponents dry-run, atrac3_bitstream.cpp:453-595)."""
+    active0 = planes["active"]
+    ln = planes["len"]
+    pos = planes["start"]
+    vlc = planes["vlc_cost"]
+
+    def cost(wl, num_bfu):
+        active = active0 & (_IOTA32 < num_bfu[..., None])
+        quant = jnp.clip(jnp.where(active, wl + 4, 0), 2, 7)
+        quant = jnp.where(active, quant, 0)
+        bucket = jnp.where(active, quant * 8 + ln, 0)     # 0 = inactive
+
+        member_bits = jnp.where(
+            active,
+            12 + jnp.take_along_axis(vlc, quant[..., None], axis=-1)[..., 0],
+            0)
+        base = jnp.sum(member_bits, axis=-1)
+
+        nbuckets = 64
+        bids = jnp.arange(nbuckets)
+
+        def step(state, g):
+            anchor, limiter, prev_win, started, nsub, nwin = state
+            m_active = active[..., g]
+            m_bucket = bucket[..., g]
+            m_pos = pos[..., g]
+            here = m_active[..., None] & (bids == m_bucket[..., None])
+
+            first = here & ~started
+            inwin = (m_pos[..., None] - (anchor & ~63)) < 64
+            lim2 = jnp.where(inwin, limiter + 1, 0)
+            anchor2 = jnp.where(inwin, anchor, m_pos[..., None])
+            brk = here & started & (lim2 >= 7)
+            new_sub = first | brk
+
+            anchor3 = jnp.where(new_sub, m_pos[..., None], anchor2)
+            lim3 = jnp.where(new_sub, 0, lim2)
+            # every active QMF band costs 4x3 bits of per-window counts
+            # (atrac3_bitstream.cpp:546-555 writes c[j] for all 4 windows of
+            # a flagged band, zero counts included); positions ascend, so
+            # distinct bands == transitions of pos>>8 within the subgroup
+            win = m_pos[..., None] >> 8
+            new_win = here & (new_sub | (win != prev_win))
+
+            anchor = jnp.where(here, anchor3, anchor)
+            limiter = jnp.where(here, lim3, limiter)
+            prev_win = jnp.where(here, win, prev_win)
+            started = started | here
+            nsub = nsub + new_sub
+            nwin = nwin + new_win
+            return (anchor, limiter, prev_win, started, nsub, nwin), None
+
+        shape = active.shape[:-1] + (nbuckets,)
+        init = (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
+                jnp.full(shape, -1, jnp.int32), jnp.zeros(shape, bool),
+                jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32))
+        (_, _, _, _, nsub, nwin), _ = jax.lax.scan(
+            step, init, jnp.arange(32))
+
+        tcsgn = jnp.sum(nsub, axis=-1)
+        # per subgroup: 4 band flags + 3 coded-values + 3 quant;
+        # per active band: 4 windows x 3-bit component counts
+        sub_bits = jnp.sum(nsub * 10 + nwin * 12, axis=-1)
+        return 5 + jnp.where(tcsgn > 0, 2 + sub_bits + base, 0)
+
+    return cost
