@@ -36,7 +36,7 @@ def encode_file(args, lp4=False):
               f"SampleRate: {rate}\n Bitrate: {bitrate}")
 
     planes = encode_track(pcm, frame_bytes=frame_size, js=js,
-                          no_gain_control=True,  # staged: gain control WIP
+                          no_gain_control=args.nogaincontrol,
                           no_tonal=args.notonal,
                           bfu_idx_const=args.bfuidxconst)
     frames = at3_frame.pack(planes, frame_size, js=js)

@@ -21,6 +21,7 @@ from atracdenc_tpu.ops import psy, scale as scale_ops
 from . import tables as T
 from . import filterbank
 from . import tonal
+from . import gain
 from .mdct import mdct_frames, gain_divisors, first_level_scale
 from .bitalloc import quant_tensors, allocate
 
@@ -69,23 +70,30 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
       sfi [C, F, 32], mant [C, F, 32, 128], gain_npoints [C, F, 4],
       gain_levels/gain_locs [C, F, 4, 8], loudness [F].
     """
-    del no_gain_control  # gain control lands in a follow-up commit
     c, t = pcm.shape
     f = t // T.NUM_SAMPLES
 
     bands = band_frames(pcm)                         # [C, F, 4, 256]
 
-    # empty gain curves (SubbandInfo with 4 bands, 0 points each)
-    gain_npoints = jnp.zeros((c, f, 4), jnp.int32)
-    gain_levels = jnp.zeros((c, f, 4, 8), jnp.int32)
-    gain_locs = jnp.zeros((c, f, 4, 8), jnp.int32)
-    gain_scale_frame = jnp.ones((c, f, 4), jnp.float32)
-
-    specs = mdct_frames(bands)                       # [C, F, 1024]
+    if no_gain_control:
+        # empty gain curves (SubbandInfo with 4 bands, 0 points each)
+        gain_npoints = jnp.zeros((c, f, 4), jnp.int32)
+        gain_levels = jnp.zeros((c, f, 4, 8), jnp.int32)
+        gain_locs = jnp.zeros((c, f, 4, 8), jnp.int32)
+        gain_scale_frame = jnp.ones((c, f, 4), jnp.float32)
+        specs = mdct_frames(bands)                   # [C, F, 1024]
+    else:
+        gain_levels, gain_locs, gain_npoints = gain.gain_control(bands)
+        div = gain_divisors(gain_levels, gain_locs, gain_npoints)
+        scale = first_level_scale(gain_levels, gain_npoints)
+        gain_scale_frame = gain.energy_scale(bands, div, scale)
+        specs = mdct_frames(bands, div, scale)
 
     # loudness IIR (atrac3denc.cpp:811-841): stereo non-JS averages both
     # channels; mono and JS use channel 0 only.
-    frame_loud = jnp.sum(specs * specs * _LOUD_CURVE, axis=-1)  # [C, F]
+    gs_per_line = jnp.repeat(gain_scale_frame, 256, axis=-1)    # [C, F, 1024]
+    frame_loud = jnp.sum(specs * specs * gs_per_line * _LOUD_CURVE,
+                         axis=-1)                               # [C, F]
     if c == 2 and not js:
         loud = psy.track_loudness_scan(
             frame_loud[0], frame_loud[1], jnp.ones((f,), bool),
