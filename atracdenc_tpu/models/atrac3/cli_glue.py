@@ -27,10 +27,6 @@ def encode_file(args, lp4=False):
     if args.bfuidxconst and not (1 <= args.bfuidxconst <= 32):
         sys.exit("Wrong bfuidxconst value (1...32)")
 
-    if js:
-        sys.exit("ATRAC3 joint-stereo modes are not implemented yet "
-                 "(bitrates <= 96 kbit/s); use --bitrate 128 or higher")
-
     if not args.nostdout:
         print(f"Input file: {args.infile}\n Channels: {channels}\n "
               f"SampleRate: {rate}\n Bitrate: {bitrate}")

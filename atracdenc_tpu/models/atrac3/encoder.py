@@ -74,6 +74,12 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
     f = t // T.NUM_SAMPLES
 
     bands = band_frames(pcm)                         # [C, F, 4, 256]
+    if js and c == 2:
+        # M/S matrixing in the band-sample domain (atrac3denc.cpp:665-677;
+        # M/S is linear, so matrixing the whole stream equals matrixing the
+        # reference's per-frame buffers and gain-analysis windows)
+        bands = jnp.stack([(bands[0] + bands[1]) * 0.5,
+                           (bands[0] - bands[1]) * 0.5])
 
     if no_gain_control:
         # empty gain curves (SubbandInfo with 4 bands, 0 points each)
@@ -123,10 +129,34 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
     spread = spread_from_sfi(sfi)
 
     # per-channel bit budget (WriteSoundUnit, atrac3_bitstream.cpp:830-892):
-    # halfFrameSz*8 - 6 (numBlocks+codingMode) - header/gain-info bits
-    header_bits = 6 + 2 + jnp.sum(
-        3 + gain_npoints * 9, axis=-1)               # [C, F]
-    target = (8 * (frame_bytes // 2) - 6 - header_bits).astype(jnp.int32)
+    # halfFrameSz*8 - 6 (numBlocks+codingMode) - header/gain-info bits;
+    # the JS channel-1 header is the 14-bit WriteJsParams block
+    half = frame_bytes // 2
+    id_bits = jnp.asarray([14 if (js and ch == 1) else 6 for ch in range(c)]
+                          )[:, None]
+    header_bits = id_bits + 2 + jnp.sum(3 + gain_npoints * 9, axis=-1)
+
+    if js:
+        # M/S byte-budget shift from per-frame loudness (CalcMSBytesShift,
+        # atrac3_bitstream.cpp:800-828); a mono input's empty side channel
+        # gets the minimum budget (shift = maxAllowedShift)
+        h1 = header_bits[1] if c == 2 else 14 + 2 + 3
+        total_used = 12 + header_bits[0] + h1
+        max_shift = half - (1 + (total_used - 1) // 8)
+        if c == 2:
+            total_loud = frame_loud[0] + frame_loud[1]
+            ratio = jnp.where(total_loud > 0,
+                              frame_loud[0] / total_loud - 0.5, 0.0)
+            ms_shift = jnp.clip(
+                jnp.round(frame_bytes * ratio).astype(jnp.int32),
+                -max_shift, max_shift)
+        else:
+            ms_shift = jnp.broadcast_to(max_shift, (f,)).astype(jnp.int32)
+    else:
+        ms_shift = jnp.zeros((f,), jnp.int32)
+    shift_per_ch = jnp.stack([ms_shift, -ms_shift])[:c]
+    target = jnp.maximum(
+        8 * (half + shift_per_ch) - 6 - header_bits, 1).astype(jnp.int32)
 
     qt = quant_tensors(scaled, _GATHER_MASK)
     num_bfu, mode, wl = allocate(
@@ -148,6 +178,7 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
         "gain_levels": gain_levels,
         "gain_locs": gain_locs,
         "loudness": loudness,
+        "ms_shift": ms_shift,
     }
     if tonal_planes is not None:
         active = tonal_planes["active"] & (

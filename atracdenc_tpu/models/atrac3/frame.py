@@ -133,13 +133,15 @@ def pack_channel(planes) -> tuple:
     else:
         values[:, 0] = 0x28
         widths[:, 0] = 6
-    values[:, 1] = 3                    # numQmfBand - 1 (always 4 bands)
+    num_qmf = np.asarray(planes.get("num_qmf", np.full(n, 4)), np.int64)
+    values[:, 1] = num_qmf - 1
     widths[:, 1] = 2
     pos = _N_HEAD
 
     for band in range(4):
-        values[:, pos] = gnp[:, band]
-        widths[:, pos] = 3
+        in_band = band < num_qmf
+        values[:, pos] = np.where(in_band, gnp[:, band], 0)
+        widths[:, pos] = np.where(in_band, 3, 0)
         pos += 1
         for p in range(8):
             active = p < gnp[:, band]
@@ -233,30 +235,62 @@ def pack_channel(planes) -> tuple:
     return values, widths
 
 
+def _empty_js_channel1(n):
+    """Synthetic empty side-channel planes for JS mono input
+    (atrac3denc.cpp:843-849: one SCE with 1 QMF band, no blocks)."""
+    return {
+        "num_bfu": np.ones(n, np.int32),
+        "coding_mode": np.ones(n, np.int32),       # CLC (TConfigure default)
+        "wordlen": np.zeros((n, 32), np.int32),
+        "sfi": np.zeros((n, 32), np.int32),
+        "mant": np.zeros((n, 32, _MAXLEN), np.int32),
+        "gain_npoints": np.zeros((n, 4), np.int32),
+        "gain_levels": np.zeros((n, 4, 8), np.int32),
+        "gain_locs": np.zeros((n, 4, 8), np.int32),
+        "num_qmf": np.ones(n, np.int32),
+        "js_channel1": True,
+    }
+
+
 def pack(planes, frame_bytes: int, js: bool = False) -> np.ndarray:
     """Channel planes dict of [C, F, ...] arrays -> [F, frame_bytes] frames.
 
     Mono non-JS output duplicates the channel bytes
-    (atrac3_bitstream.cpp:909-914).
+    (atrac3_bitstream.cpp:909-914); JS channel 1 is byte-reversed into the
+    frame tail with the per-frame M/S byte-budget shift (:899-905).
     """
     c = planes["num_bfu"].shape[0]
+    n = planes["num_bfu"].shape[1]
     half = frame_bytes // 2
     slack = 256  # TBitStream can overrun the budget; resize() truncates
-    chan_bytes = []
-    for ch in range(c):
-        p = {k: v[ch] for k, v in planes.items() if k != "loudness"}
-        if js and ch == 1:
-            p["js_channel1"] = True
+    shift = np.asarray(planes.get("ms_shift",
+                                  np.zeros(n, np.int32)), np.int64)
+
+    chans = [{k: v[ch] for k, v in planes.items()
+              if k not in ("loudness", "ms_shift")} for ch in range(c)]
+    if js and c == 1:
+        chans.append(_empty_js_channel1(n))
+    elif js:
+        chans[1]["js_channel1"] = True
+
+    bufs = []
+    for p in chans:
         values, widths = pack_channel(p)
-        buf = bitpack.pack_frames(values, widths, half + slack)[:, :half]
-        if js and ch == 1:
-            buf = buf[:, ::-1]
-        chan_bytes.append(buf)
-    if c == 1 and not js:
-        chan_bytes.append(chan_bytes[0])
-    if c == 1 and js:
-        raise NotImplementedError("JS mono second-channel element")
-    return np.concatenate(chan_bytes, axis=1)
+        bufs.append(bitpack.pack_frames(values, widths,
+                                        frame_bytes + slack)[:, :frame_bytes])
+
+    if not js:
+        if c == 1:
+            return np.concatenate([bufs[0][:, :half]] * 2, axis=1)
+        return np.concatenate([bufs[0][:, :half], bufs[1][:, :half]], axis=1)
+
+    # JS assembly: out[j] = ch0[j] for j < half+shift, else reversed ch1:
+    # out[j] = ch1[frame_bytes-1-j]
+    j = np.arange(frame_bytes)[None, :]
+    boundary = (half + shift)[:, None]
+    rows = np.arange(n)[:, None]
+    return np.where(j < boundary, bufs[0][rows, j],
+                    bufs[1][rows, frame_bytes - 1 - j]).astype(np.uint8)
 
 
 class BitReader:
@@ -388,9 +422,11 @@ def unpack(frames: np.ndarray, channels: int, js: bool = False):
     half = frames.shape[1] // 2
     out = []
     for fr in frames:
-        chans = [unpack_channel(fr[:half])]
+        chans = [unpack_channel(fr[:half] if not js else fr)]
         if channels == 2 or js:
-            second = fr[half:][::-1] if js else fr[half:]
+            # the JS side channel reads backwards from the frame end; the
+            # M/S byte boundary is implicit, so hand it the whole frame
+            second = fr[::-1] if js else fr[half:]
             chans.append(unpack_channel(second, js1=js))
         out.append(chans)
     return out
