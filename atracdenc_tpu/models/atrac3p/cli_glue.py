@@ -1,0 +1,43 @@
+"""File-level ATRAC3+ encode path for the CLI driver.
+
+Mirrors PrepareAtrac3PEncoder (reference: src/main.cpp:427-483): fixed
+2048-byte frames at 352.8 kbit/s, OMA/RIFF/RAW containers.
+"""
+import os
+import sys
+
+
+def encode_file(args):
+    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.containers import oma, at3, raw
+    from . import frame as at3p_frame
+    from . import tables as T
+    from .encoder import encode_track
+
+    pcm, rate = wav.read(args.infile)
+    if rate != 44100:
+        sys.exit("Unsupported sample rate. Only 44100Hz is supported now")
+    channels = pcm.shape[0]
+
+    if not args.nostdout:
+        print(f"Input file: {args.infile}\n Channels: {channels}\n "
+              f"SampleRate: {rate}\n Codec: ATRAC3Plus")
+
+    planes = encode_track(pcm)
+    frames = at3p_frame.pack(planes, channels)
+
+    container = args.container
+    if container is None:
+        ext = os.path.splitext(args.outfile)[1].lower()
+        container = {".oma": "oma", ".aa3": "oma", ".wav": "riff",
+                     ".at3": "riff"}.get(ext, "oma")
+
+    if container == "oma":
+        oma.write(args.outfile, frames, oma.CODEC_ATRAC3PLUS, T.FRAME_BYTES,
+                  channels=channels)
+    elif container == "riff":
+        at3.write_at3p(args.outfile, frames, T.FRAME_BYTES, channels=channels)
+    elif container == "raw":
+        raw.write(args.outfile, frames)
+    else:
+        sys.exit(f"Unsupported container for ATRAC3+: {container}")

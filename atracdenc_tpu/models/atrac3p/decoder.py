@@ -1,0 +1,39 @@
+"""ATRAC3+ QA decoder (new capability — the reference has no AT3P decoder).
+
+Parse frames -> dequantize -> per-subband IMDCT -> inverse PQF.  Closes the
+loop on encoder output; the reference relies on external decoders
+(SURVEY.md §4).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from . import tables as T
+from . import frame as at3p_frame
+from . import pqf
+from .mdct import imdct_frames
+
+# one-frame encoder look-ahead + one-frame MDCT OLA latency + PQF delay
+DELAY = 2 * T.NUM_SAMPLES + pqf.PQF_DELAY_SAMPLES
+
+
+def decode_track(frames: np.ndarray, channels: int) -> np.ndarray:
+    """[N, 2048] frames -> [C, T] PCM (delay-compensated)."""
+    n = frames.shape[0]
+    specs = np.zeros((channels, n, 2048), np.float32)
+    for fi in range(n):
+        p = at3p_frame.unpack_frame(frames[fi], channels)
+        for ch in range(channels):
+            for qu in range(p["num_qu"]):
+                wl = p["wordlen"][ch, qu]
+                if wl == 0:
+                    continue
+                s, ln = T.SPECS_START[qu], T.SPECS_PER_BLOCK[qu]
+                specs[ch, fi, s:s + ln] = (
+                    p["mant"][ch, qu, :ln] * T.MANT_TAB[wl]
+                    * T.SCALE_TABLE[p["sfi"][ch, qu]])
+
+    bands = np.asarray(imdct_frames(jnp.asarray(specs)))  # [C, N, 16, 128]
+    bands = bands / T.RESIDUAL_SCALE
+    stream = np.swapaxes(bands, 1, 2).reshape(channels, 16, -1)
+    pcm = np.stack([pqf.ipqf_np(stream[ch]) for ch in range(channels)])
+    return np.clip(pcm[:, pqf.PQF_DELAY_SAMPLES:], -1.0, 1.0)

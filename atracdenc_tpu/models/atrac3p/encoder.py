@@ -1,0 +1,182 @@
+"""ATRAC3+ encoder: whole-track, batched.
+
+Pipeline (reference: src/atrac/at3p/at3p.cpp:89-180):
+  16-band PQF analysis -> [GHA tonal model] -> one-frame-delayed residual,
+  scaled by 1/(32768/1.122018) -> per-subband MDCT -> block-floating scale ->
+  fixed per-QU wordlens -> mantissa quantization -> best-of-8 spectrum VLC
+  table per quant unit -> NumQuantUnits shrink until the 2048-byte frame fits.
+
+The reference's one-frame look-ahead (LOOK_AHEAD + drain) makes the first
+output frame silent and drops the final content frame; the whole-track form
+reproduces that by shifting the residual stream one frame right.
+
+The GHA tonal model is staged separately; without it the residual equals the
+PQF output (equivalent to a GHA pass that detects no tones), which is a
+complete, valid ATRAC3+ stream.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atracdenc_tpu.ops import scale as scale_ops
+from . import tables as T
+from . import pqf
+from .mdct import mdct_frames
+
+_GATHER_IDX = jnp.asarray(T.GATHER_IDX)
+_GATHER_MASK = jnp.asarray(T.GATHER_MASK)
+_SCALE_TABLE = jnp.asarray(T.SCALE_TABLE)
+_SPEC_LEN = jnp.asarray(T.SPEC_LEN)
+
+
+def band_frames(pcm):
+    """[C, T] PCM -> [C, F, 16, 128] PQF band samples."""
+    c, t = pcm.shape
+    f = t // T.NUM_SAMPLES
+    bands = pqf.analysis(pcm)                 # [C, 16, T/16]
+    return jnp.swapaxes(bands.reshape(c, 16, f, 128), 1, 2)
+
+
+def gather_qu_blocks(specs):
+    """[..., 2048] spectra -> padded QU blocks [..., 32, 128]."""
+    flat = _GATHER_IDX.reshape(-1)
+    vals = jnp.take_along_axis(
+        specs, jnp.broadcast_to(flat, specs.shape[:-1] + flat.shape), axis=-1)
+    return vals.reshape(specs.shape[:-1] + (32, 128)) * _GATHER_MASK
+
+
+def _qu_table_cost(mant, qu, tab_idx):
+    """Spectrum bits for one QU at one table (EncodeQuSpectra dry run,
+    at3p_bitstream.cpp:286-345). mant: [..., L]."""
+    gs, nc, bits, signed = (int(x) for x in T.SPECTRA_TABS[tab_idx])
+    ln = int(T.SPECS_PER_BLOCK[qu])
+    m = mant[..., :ln]
+    ncodes = ln // nc
+    grp = m.reshape(m.shape[:-1] + (ncodes, nc))
+    if signed:
+        t = grp & ((1 << bits) - 1)
+        sign_bits = 0
+    else:
+        t = jnp.abs(grp)
+        sign_bits = jnp.sum((grp != 0).astype(jnp.int32), axis=(-1, -2))
+    shifts = (bits * np.arange(nc)).astype(np.int32)
+    val = jnp.sum(t << shifts, axis=-1)       # [..., ncodes]
+    code_bits = jnp.sum(_SPEC_LEN[tab_idx, val], axis=-1)
+    group_bits = 0 if gs == 1 else ncodes // gs
+    return code_bits + sign_bits + group_bits
+
+
+def _wordlen_section_bits():
+    """[33] bits of the ch0 wordlen section per numQU (the wordlens are the
+    fixed table, so the section cost is a constant per numQU;
+    TWordLenEncoder, at3p_bitstream.cpp:156-247)."""
+    out = np.zeros(33, np.int64)
+    wl = T.FIXED_WORDLEN
+    for nq in range(1, 33):
+        deltas = np.diff(wl[:nq])
+        max_d = int(np.abs(deltas).max(initial=0))
+        if max_d >= 3:
+            rng = (2, 3)
+        elif max_d == 2:
+            rng = (1, 1)
+        else:
+            rng = (0, 0)
+        best = min(range(rng[0], rng[1] + 1),
+                   key=lambda i: T.WL_LEN[i][deltas & 7].sum())
+        bits = 2 + 2 + 2 + 2 + 3 + int(T.WL_LEN[best][deltas & 7].sum())
+        out[nq] = bits
+    return out
+
+
+_WL_BITS_CH0 = _wordlen_section_bits()
+# inter-channel deltas are all zero (both channels share the fixed table):
+# header 2+2+2 bits + numQU codes from table 0 for delta 0
+_WL_BITS_CH1 = 6 + T.WL_LEN[0][0] * np.arange(33)
+
+
+def _const_bits(channels):
+    """[33] per-numQU section bits that don't depend on the spectra."""
+    nq = np.arange(33)
+    bits = np.zeros(33, np.int64)
+    bits += 5 + 1                                   # TConfigure
+    bits += _WL_BITS_CH0
+    if channels == 2:
+        bits += _WL_BITS_CH1
+    bits += channels * (2 + 6 * nq)                 # TSfIdx
+    bits += 1 + channels * (1 + 2 + 1 + 3 * nq)     # EncodeCodeTab (full table)
+    pwr = T.SUBBAND_TO_NUM_POWGRPS[T.QU_TO_SUBBAND[np.maximum(nq, 1) - 1]]
+    bits += channels * 4 * pwr                      # power-comp stubs
+    if channels == 2:
+        bits += 2                                   # swap/negate flags
+    bits += channels * 1                            # window shape (all sine)
+    bits += channels * 1                            # gain comp
+    bits += 1                                       # no tonal block
+    bits += 1 + 2                                   # no noise + terminator
+    return bits
+
+
+@partial(jax.jit, static_argnames=())
+def _encode_core(pcm):
+    c, t = pcm.shape
+    f = t // T.NUM_SAMPLES
+
+    bands = band_frames(pcm)                        # [C, F, 16, 128]
+    # one-frame delay: output frame f carries content frame f-1 (LOOK_AHEAD)
+    res = jnp.pad(bands[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    specs = mdct_frames(res * T.RESIDUAL_SCALE)     # [C, F, 2048]
+
+    blocks = gather_qu_blocks(specs)                # [C, F, 32, 128]
+    sfi, scaled, _ = scale_ops.scale_blocks(
+        blocks, _GATHER_MASK, _SCALE_TABLE)
+
+    inv_mant = jnp.asarray(T.INV_MANT_TAB)[jnp.asarray(T.FIXED_WORDLEN)]
+    mant = jnp.round(scaled * inv_mant[:, None]).astype(jnp.int32)
+    mant = jnp.where(_GATHER_MASK, mant, 0)
+
+    # best-of-8 spectrum table per QU (strict less -> first minimum)
+    costs = []
+    for qu in range(32):
+        wl = int(T.FIXED_WORDLEN[qu])
+        qc = [ _qu_table_cost(mant[..., qu, :], qu, 7 * i + wl - 1)
+               for i in range(8) ]
+        costs.append(jnp.stack(qc, axis=-1))        # [C, F, 8]
+    cost = jnp.stack(costs, axis=-2)                # [C, F, 32, 8]
+    spec_tab = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    spec_bits = jnp.min(cost, axis=-1)              # [C, F, 32]
+
+    return sfi, mant, spec_tab, spec_bits
+
+
+def encode_track(pcm: np.ndarray):
+    """[C, T] PCM -> ATRAC3+ frame planes (dict of numpy arrays)."""
+    pcm = np.atleast_2d(np.asarray(pcm, np.float32))
+    c, t = pcm.shape
+    pad = (-t) % T.NUM_SAMPLES
+    if pad:
+        pcm = np.pad(pcm, ((0, 0), (0, pad)))
+
+    sfi, mant, spec_tab, spec_bits = (
+        np.asarray(x) for x in _encode_core(jnp.asarray(pcm)))
+
+    # NumQuantUnits shrink (CheckFrameDone, at3p_bitstream.cpp:529-541):
+    # candidates 32, 28, 27, ... 1; first whose total fits 2048*8-3 bits
+    budget = T.FRAME_BYTES * 8 - 3
+    const_bits = _const_bits(c)
+    cum = np.concatenate([np.zeros_like(spec_bits[..., :1]),
+                          np.cumsum(spec_bits, axis=-1)], axis=-1)  # [C,F,33]
+    total = const_bits[None] + cum.sum(axis=0)      # [F, 33]
+    candidates = [32] + list(range(28, 0, -1))
+    num_qu = np.full(total.shape[0], 1, np.int32)
+    chosen = np.zeros(total.shape[0], bool)
+    for nq in candidates:
+        ok = ~chosen & (total[:, nq] <= budget)
+        num_qu[ok] = nq
+        chosen |= ok
+    return {
+        "num_qu": num_qu,
+        "sfi": sfi,
+        "mant": mant,
+        "spec_tab": spec_tab,
+    }
