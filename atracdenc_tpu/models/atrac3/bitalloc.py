@@ -46,13 +46,25 @@ def quant_tensors(scaled, valid_mask):
       mant [..., 32, 8, 128] int32, err [..., 32, 8] (e1/e2),
       clc  [..., 32, 8] int32 spectrum bits, vlc [..., 32, 8] int32.
     """
+    from atracdenc_tpu.ops.quant import _round_energy
+
     x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
     lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
     valid = valid_mask[:, None, :]
     mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
-    ea = jnp.broadcast_to((_IOTA32 > T.LOSY_NAQ_START)[:, None],
-                          lanes.shape[:-1])
-    mant, err = quant_blocks(lanes, valid, mul, ea)
+
+    # plain rounding everywhere; the EA greedy pass (sort + scan) runs only
+    # on the lanes that actually use it: bfu > 18, wordlen 1..7
+    mant, e1, e2 = _round_energy(lanes, valid, mul)
+    err = e1 / e2
+    ea_lo = T.LOSY_NAQ_START + 1
+    ea_lanes = lanes[..., ea_lo:, 1:, :]
+    ea_mul = mul[..., ea_lo:, 1:]
+    ea_mant, ea_err = quant_blocks(
+        ea_lanes, valid_mask[ea_lo:, None, :], ea_mul,
+        jnp.ones(ea_mul.shape, bool))
+    mant = mant.at[..., ea_lo:, 1:, :].set(ea_mant)
+    err = err.at[..., ea_lo:, 1:].set(ea_err)
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
@@ -61,21 +73,53 @@ def quant_tensors(scaled, valid_mask):
                     _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2))
     clc = jnp.broadcast_to(clc, mant.shape[:-1]).astype(jnp.int32)
 
-    # VLC cost (atrac3_bitstream.cpp:186-220).
-    m = mant
-    idx_single = jnp.where(m < 0, (-m) * 2, jnp.where(m > 0, m * 2 - 1, 0))
-    sel = jnp.clip(wl - 1, 0, 6)                       # selector-1 per wl lane
-    bits_single = _VLC_BITS[sel[None, :, None], idx_single]
-    vlc_single = jnp.sum(jnp.where(valid, bits_single, 0), axis=-1)
+    # VLC cost (atrac3_bitstream.cpp:186-220).  Table lookups are expressed
+    # as step-function arithmetic (codebook lengths are grouped runs), since
+    # TPU gathers from small tables are pathologically slow.
+    vmask = valid_mask[:, :]                            # [32, 128]
+    idx_single = jnp.where(mant < 0, (-mant) * 2,
+                           jnp.where(mant > 0, mant * 2 - 1, 0))
+    vlc_singles = []
+    for w in range(_MAX_WL):
+        sel = min(max(w - 1, 0), 6)
+        bits = _vlc_bits_arith(idx_single[..., w, :], sel)  # [..., 32, 128]
+        vlc_singles.append(jnp.sum(jnp.where(vmask, bits, 0), axis=-1))
+    vlc_single = jnp.stack(vlc_singles, axis=-1)        # [..., 32, 8]
 
-    pairs = m.reshape(m.shape[:-1] + (64, 2))
-    pair_idx = _VLC_PAIR_RTAB[3 * (pairs[..., 0] + 1) + (pairs[..., 1] + 1)]
-    bits_pair = _VLC_BITS[0, pair_idx]
-    pair_valid = valid.reshape(valid.shape[:-1] + (64, 2))[..., 0]
+    # wl==1 pairs: 9-entry map (a+1)*3+(b+1) -> table-1 index, as selects
+    pairs = mant[..., 1, :].reshape(mant.shape[:-2] + (64, 2))
+    key = 3 * (pairs[..., 0] + 1) + (pairs[..., 1] + 1)
+    bits_pair = sum(int(T.VLC_BITS[0, T.VLC_PAIR_RTAB[k]]) * (key == k)
+                    for k in range(9))
+    pair_valid = vmask.reshape(32, 64, 2)[..., 0]
     vlc_pair = jnp.sum(jnp.where(pair_valid, bits_pair, 0), axis=-1)
 
-    vlc = jnp.where(wl[None, :] == 1, vlc_pair, vlc_single).astype(jnp.int32)
+    vlc = vlc_single.at[..., 1].set(vlc_pair).astype(jnp.int32)
     return {"mant": mant, "err": err, "clc": clc, "vlc": vlc}
+
+
+def _vlc_bits_arith(idx, sel):
+    """Bit-length of symbol `idx` in spectrum codebook `sel`, as a sum of
+    step functions derived from the table (lengths are short runs)."""
+    lens = T.VLC_BITS[sel]
+    out = jnp.full(idx.shape, int(lens[0]), jnp.int32)
+    prev = int(lens[0])
+    for j in range(1, 63):
+        if lens[j] == 0:
+            break
+        d = int(lens[j]) - prev
+        if d:
+            out = out + d * (idx >= j)
+        prev = int(lens[j])
+    return out
+
+
+def onehot_select(table, idx):
+    """table [..., K], idx [...] -> table[..., idx] via one-hot contraction
+    (avoids TPU's slow small-axis take_along_axis)."""
+    k = table.shape[-1]
+    oh = jax.nn.one_hot(idx, k, dtype=table.dtype)
+    return jnp.sum(table * oh, axis=-1)
 
 
 def calc_bits_allocation(sfi, gain_scale_frame, energy, spread, shift,
@@ -88,8 +132,9 @@ def calc_bits_allocation(sfi, gain_scale_frame, energy, spread, shift,
     Returns wordlens [..., 32] int32 (zero beyond num_bfu).
     """
     in_use = _IOTA32 < num_bfu[..., None]
-    gs = jnp.take_along_axis(
-        gain_scale_frame, jnp.broadcast_to(_BFU_BAND, sfi.shape), axis=-1)
+    band_oh = jnp.asarray(
+        np.eye(4, dtype=np.float32)[T.BFU_TO_BAND].T)   # [4, 32] static
+    gs = jnp.einsum("...b,bk->...k", gain_scale_frame, band_oh)
     gs = jnp.where(jnp.isfinite(gs) & (gs > 0), gs, 1.0)
 
     corrected_energy = energy * gs
@@ -116,8 +161,8 @@ def _spec_cost(wl, qt, num_bfu):
     """(coding_mode [...], bits [...]) for a given allocation
     (CalcSpecsBitsConsumption, atrac3_bitstream.cpp:261-298)."""
     in_use = (_IOTA32 < num_bfu[..., None]) & (wl > 0)
-    clc = jnp.take_along_axis(qt["clc"], wl[..., None], axis=-1)[..., 0]
-    vlc = jnp.take_along_axis(qt["vlc"], wl[..., None], axis=-1)[..., 0]
+    clc = onehot_select(qt["clc"].astype(jnp.float32), wl).astype(jnp.int32)
+    vlc = onehot_select(qt["vlc"].astype(jnp.float32), wl).astype(jnp.int32)
     clc_sum = jnp.sum(jnp.where(in_use, clc, 0), axis=-1)
     vlc_sum = jnp.sum(jnp.where(in_use, vlc, 0), axis=-1)
     mode = clc_sum <= vlc_sum          # 1 = CLC
@@ -134,7 +179,7 @@ def _energy_boost(wl, qt, num_bfu):
 
     def body(state):
         w, _ = state
-        err = jnp.take_along_axis(qt["err"], w[..., None], axis=-1)[..., 0]
+        err = onehot_select(qt["err"], w)
         e = jnp.where(w > 0, err, 0.0)
         cond = (((e > 0) & (e < 0.7)) | (e > 1.2)) & (w < 7) & boostable
         return jnp.where(cond, w + 1, w), jnp.any(cond)

@@ -14,6 +14,8 @@ axis with the running energy as carry — one fused scan for every
 import jax
 import jax.numpy as jnp
 
+from atracdenc_tpu.ops.sort import bitonic_sort, bitonic_unsort
+
 __all__ = ["quant_blocks"]
 
 
@@ -45,29 +47,37 @@ def quant_blocks(scaled, valid, mul, ea_mask):
     float32 exactly like the reference (inf/nan propagate the same way).
     """
     t = scaled * mul[..., None]
-    mant, e1, e2 = _round_energy(scaled, valid, mul)
+    mant0, e1, e2 = _round_energy(scaled, valid, mul)
     inv2 = jnp.where(mul > 0, 1.0 / (mul * mul), 0.0)
 
     # EA candidates: |t - (trunc(t) + 0.5)| < 0.25 (atrac_scale.cpp:66-73)
     delta = t - (jnp.trunc(t) + 0.5)
     cand = valid & (jnp.abs(delta) < 0.25) & ea_mask[..., None] & (mul > 0)[..., None]
 
+    # sort/gather must run on 2-D [rows, L] layouts: on TPU the same ops on
+    # high-rank small-trailing-dim shapes are ~1000x slower
+    batch_shape = scaled.shape[:-1]
+    L = scaled.shape[-1]
+    flat = lambda x: x.reshape((-1, L))
+    t = flat(t)
+    mant = flat(mant0)
+    cand = flat(cand)
+    e1f = e1.reshape(-1)
+    e2f = e2.reshape(-1)
+    mulf = mul.reshape(-1)
+    inv2f = inv2.reshape(-1)
+
     # Sort candidates by |delta| ascending; non-candidates sort to the end.
-    sort_key = jnp.where(cand, jnp.abs(delta), jnp.inf)
-    order = jnp.argsort(sort_key, axis=-1)
-    inv_order = jnp.argsort(order, axis=-1)
-
-    def g(x):
-        return jnp.take_along_axis(x, order, axis=-1)
-
-    t_s = g(t)
-    m_s = g(mant)
-    cand_s = g(cand)
+    # (bitonic network — XLA's sort primitive is pathologically slow on TPU)
+    sort_key = jnp.where(cand, jnp.abs(flat(delta)), jnp.inf)
+    iota = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), t.shape)
+    _, (t_s, m_s, cand_s, order) = bitonic_sort(
+        sort_key, (t, mant, cand, iota))
     abs_t = jnp.abs(t_s)
     abs_m = jnp.abs(m_s).astype(scaled.dtype)
 
-    up = e2 < e1   # branch fixed before the pass (atrac_scale.cpp:85,107)
-    dn = e2 > e1
+    up = e2f < e1f  # branch fixed before the pass (atrac_scale.cpp:85,107)
+    dn = e2f > e1f
 
     # Proposed flipped mantissa per candidate (away from 0 when up-branch,
     # toward 0 when down-branch).
@@ -76,28 +86,29 @@ def quant_blocks(scaled, valid, mul, ea_mask):
     m_dn = jnp.where(m_s > 0, m_s - 1, jnp.where(m_s < 0, m_s + 1, m_s))
     m_new = jnp.where(up[..., None], m_up, m_dn)
 
-    elig_up = (abs_m < abs_t) & (abs_m < (mul - 1.0)[..., None])
+    elig_up = (abs_m < abs_t) & (abs_m < (mulf - 1.0)[..., None])
     elig_dn = abs_m > abs_t
     elig = cand_s & jnp.where(up[..., None], elig_up,
                               jnp.where(dn[..., None], elig_dn, False))
 
     # e2 update terms, applied in the reference's exact float order:
     # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121)
-    a = (m_s * m_s).astype(scaled.dtype) * inv2[..., None]
-    b = (m_new * m_new).astype(scaled.dtype) * inv2[..., None]
+    a = (m_s * m_s).astype(scaled.dtype) * inv2f[..., None]
+    b = (m_new * m_new).astype(scaled.dtype) * inv2f[..., None]
 
     def step(e2_run, xs):
         elig_k, a_k, b_k = xs
         ex = (e2_run - a_k) + b_k
-        accept = elig_k & (jnp.abs(ex - e1) < jnp.abs(e2_run - e1))
+        accept = elig_k & (jnp.abs(ex - e1f) < jnp.abs(e2_run - e1f))
         return jnp.where(accept, ex, e2_run), accept
 
     e2_fin, accept = jax.lax.scan(
-        step, e2, (jnp.moveaxis(elig, -1, 0), jnp.moveaxis(a, -1, 0),
-                   jnp.moveaxis(b, -1, 0)))
+        step, e2f, (jnp.moveaxis(elig, -1, 0), jnp.moveaxis(a, -1, 0),
+                    jnp.moveaxis(b, -1, 0)))
     accept = jnp.moveaxis(accept, 0, -1)
 
     mant_s = jnp.where(accept, m_new, m_s)
-    mant = jnp.take_along_axis(mant_s, inv_order, axis=-1)
-    err = e1 / e2_fin
+    (mant,) = bitonic_unsort(order, (mant_s,))
+    err = (e1f / e2_fin).reshape(batch_shape)
+    mant = mant.reshape(batch_shape + (L,))
     return jnp.where(valid, mant, 0), err

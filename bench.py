@@ -1,62 +1,70 @@
-"""Benchmark: ATRAC1 encode throughput on the available accelerator.
+"""Benchmark: ATRAC3 default-mode encode throughput on the available chip.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference C++ encoder (dcherednik/atracdenc, -O2, single core)
-measured on this machine at 22,207 sound-units/s (one unit = 512 samples of
-one channel; stereo realtime factor ~129x).  Measured 2026-08-16 with an
-oracle binary built from /root/reference (raw-float I/O, no libsndfile).
+in its default mode (gain control + tonal components, 132 kbit/s LP2)
+measured on this machine at 1046 stereo frames/s (one frame = 1024 samples
+x 2 channels; realtime factor ~24x).  Measured 2026-08-16 with an oracle
+binary built from /root/reference (raw-float I/O, no libsndfile) on a
+47.5 s stereo corpus (997 Hz tone + noise).
+
+The TPU pipeline is batched over independent streams (the batch-transcoder
+scenario); the host-side serialization runs after device compute and is
+included in the measured wall time.  NOTE: on this rig device->host moves
+cross a network tunnel (~100 MB/s); on a directly-attached TPU host the
+transfer term is negligible.
 """
 import json
 import time
 
 import numpy as np
 
-REF_UNITS_PER_S = 22207.0
+REF_FRAMES_PER_S = 1046.0
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from atracdenc_tpu.models.atrac1.encoder import encode_frames
-    from atracdenc_tpu.models.atrac1 import frame as at1_frame
+    from atracdenc_tpu.models.atrac3.encoder import encode_frames
+    from atracdenc_tpu.models.atrac3 import frame as at3_frame
 
-    streams, channels, nframes = 16, 2, 256
-    t = 512 * nframes
-    rng = np.random.default_rng(0)
+    streams, channels, nframes = 8, 2, 256
+    t = 1024 * nframes
+    rng = np.random.default_rng(42)
     n = np.arange(t, dtype=np.float64)
     base = 0.4 * np.sin(2 * np.pi * 997.0 * n / 44100.0)
-    pcm = np.clip(base[None, None, :]
-                  + 0.1 * rng.standard_normal((streams, channels, t)),
-                  -0.95, 0.95).astype(np.float32)
+    pcm = np.clip(base[None, None, :] * np.asarray([1.0, 0.8])[None, :, None]
+                  + 0.05 * rng.standard_normal((streams, channels, t)),
+                  -1, 1).astype(np.float32)
     x = jnp.asarray(pcm)
 
-    batched = jax.jit(jax.vmap(lambda p: encode_frames(p)))
-    planes = jax.block_until_ready(batched(x))  # compile + warm up
+    batched = jax.jit(jax.vmap(lambda p: encode_frames(
+        p, frame_bytes=384, js=False,
+        no_gain_control=False, no_tonal=False)))
+    host = jax.device_get(batched(x))  # compile + warm up
 
-    iters = 8
+    # steady-state pipeline: batch i+1 computes on-device while batch i
+    # transfers and serializes on the host
+    iters = 4
     t0 = time.perf_counter()
+    pending = batched(x)
     for _ in range(iters):
-        planes = batched(x)
-    jax.block_until_ready(planes)
-    device_s = (time.perf_counter() - t0) / iters
+        nxt = batched(x)                   # async dispatch
+        host = jax.device_get(pending)     # overlaps with nxt's compute
+        for s in range(streams):
+            frames = at3_frame.pack({k: v[s] for k, v in host.items()}, 384)
+        pending = nxt
+    jax.block_until_ready(pending)
+    total_s = (time.perf_counter() - t0) / iters
+    assert frames.shape == (nframes, 384)
 
-    # host-side bitstream finalization (native C++ packer)
-    host_planes = {k: np.asarray(v).reshape((-1,) + v.shape[3:])
-                   for k, v in planes.items()}
-    t0 = time.perf_counter()
-    frames = at1_frame.pack(host_planes)
-    pack_s = time.perf_counter() - t0
-    assert frames.shape == (streams * channels * nframes, 212)
-
-    units = streams * channels * nframes
-    total_s = device_s + pack_s
-    ups = units / total_s
+    fps = streams * nframes / total_s
     print(json.dumps({
-        "metric": "atrac1_encode_throughput",
-        "value": round(ups, 1),
-        "unit": "sound_units_per_s",
-        "vs_baseline": round(ups / REF_UNITS_PER_S, 2),
+        "metric": "atrac3_default_encode_throughput",
+        "value": round(fps, 1),
+        "unit": "stereo_frames_per_s",
+        "vs_baseline": round(fps / REF_FRAMES_PER_S, 2),
     }))
 
 
