@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from atracdenc_tpu.models.atrac1.encoder import encode_frames
+from atracdenc_tpu.models.atrac3.encoder import encode_frames as at3_encode
 
 
 def make_mesh(n_devices=None, dp=None):
@@ -52,15 +53,38 @@ def encode_batch_sharded(pcm, mesh):
     return fn(jax.device_put(pcm, in_sharding))
 
 
+def encode_batch_at3(pcm):
+    """[S, C, T] PCM batch -> ATRAC3 default-mode frame planes."""
+    return jax.vmap(lambda p: at3_encode(
+        p, frame_bytes=384, js=False,
+        no_gain_control=False, no_tonal=False))(pcm)
+
+
+def encode_batch_at3_sharded(pcm, mesh):
+    """Shard an ATRAC3 batch over (stream, time) and encode."""
+    in_sharding = NamedSharding(mesh, P("dp", None, "sp"))
+    out_sharding = NamedSharding(mesh, P("dp"))
+    fn = jax.jit(encode_batch_at3, in_shardings=in_sharding,
+                 out_shardings=out_sharding)
+    return fn(jax.device_put(pcm, in_sharding))
+
+
 def dryrun(n_devices: int) -> None:
-    """Compile + run one sharded encode step on tiny shapes (driver hook)."""
+    """Compile + run sharded encode steps on tiny shapes (driver hook)."""
     mesh = make_mesh(n_devices)
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     s = max(2 * dp, dp)
-    t = 512 * 2 * sp
     rng = np.random.default_rng(0)
+
+    t = 512 * 2 * sp
     pcm = (0.25 * rng.standard_normal((s, 2, t))).astype(np.float32)
     planes = encode_batch_sharded(jnp.asarray(pcm), mesh)
     jax.block_until_ready(planes)
     assert planes["wordlen"].shape == (s, 2, t // 512, 52)
+
+    t3 = 1024 * 2 * sp
+    pcm3 = (0.25 * rng.standard_normal((s, 2, t3))).astype(np.float32)
+    planes3 = encode_batch_at3_sharded(jnp.asarray(pcm3), mesh)
+    jax.block_until_ready(planes3)
+    assert planes3["wordlen"].shape == (s, 2, t3 // 1024, 32)
