@@ -17,7 +17,7 @@ def read(path: str):
         data = sys.stdin.buffer.read()
         fp = wave.open(io.BytesIO(data), "rb")
     else:
-        fp = wave.open(path, "rb")
+        fp = wave.open(str(path), "rb")
     with fp:
         if fp.getsampwidth() != 2:
             raise ValueError("Only 16-bit PCM WAV input is supported")
@@ -35,7 +35,7 @@ def write(path: str, pcm: np.ndarray, sample_rate: int = 44100) -> None:
     ints = np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16)
     interleaved = ints.T.reshape(-1).tobytes()
     buf = io.BytesIO() if path == "-" else None
-    fp = wave.open(buf or path, "wb")
+    fp = wave.open(buf if buf is not None else str(path), "wb")
     with fp:
         fp.setnchannels(pcm.shape[0])
         fp.setsampwidth(2)

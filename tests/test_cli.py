@@ -1,0 +1,94 @@
+"""CLI integration tests, mirroring the reference's Python suite
+(reference: test/integration/input_file_tests.py): invalid inputs and
+codec/container combinations are rejected with clear errors, container
+auto-selection follows the output extension, UTF-8 filenames work, and
+corrupted streams decode without crashing.
+"""
+import numpy as np
+import pytest
+
+from atracdenc_tpu import cli
+from atracdenc_tpu.io import wav
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "in.wav"
+    n = np.arange(512 * 12)
+    sig = 0.5 * np.sin(2 * np.pi * 997 * n / 44100)
+    wav.write(p, np.stack([sig, 0.7 * sig]).astype(np.float32), 44100)
+    return p
+
+
+def test_unsupported_sample_rate(tmp_path):
+    p = tmp_path / "in48.wav"
+    wav.write(p, np.zeros((1, 4800), np.float32), 48000)
+    with pytest.raises(SystemExit, match="sample rate"):
+        cli.main(["-e", "atrac1", "-i", str(p), "-o", str(tmp_path / "o.aea"),
+                  "--nostdout"])
+
+
+def test_container_matrix_rejection(wav_file, tmp_path):
+    with pytest.raises(SystemExit, match="not supported"):
+        cli.main(["-e", "atrac1", "--container", "rm", "-i", str(wav_file),
+                  "-o", str(tmp_path / "o.rm"), "--nostdout"])
+    with pytest.raises(SystemExit, match="not supported"):
+        cli.main(["-e", "atrac3plus", "--container", "rm",
+                  "-i", str(wav_file), "-o", str(tmp_path / "o.rm"),
+                  "--nostdout"])
+
+
+def test_bfuidxconst_range(wav_file, tmp_path):
+    with pytest.raises(SystemExit, match="bfuidxconst"):
+        cli.main(["-e", "atrac1", "--bfuidxconst", "9", "-i", str(wav_file),
+                  "-o", str(tmp_path / "o.aea"), "--nostdout"])
+
+
+def test_mode_required(wav_file, tmp_path):
+    with pytest.raises(SystemExit, match="encode or decode"):
+        cli.main(["-i", str(wav_file), "-o", str(tmp_path / "o.aea")])
+
+
+def test_at1_roundtrip_with_notransient(wav_file, tmp_path):
+    out = tmp_path / "o.aea"
+    cli.main(["-e", "atrac1", "--notransient=2", "-i", str(wav_file),
+              "-o", str(out), "--nostdout"])
+    dec = tmp_path / "o.wav"
+    cli.main(["-d", "-i", str(out), "-o", str(dec), "--nostdout"])
+    pcm, rate = wav.read(dec)
+    assert rate == 44100 and pcm.shape[0] == 2
+    assert np.abs(pcm).max() > 0.1
+
+
+def test_utf8_filenames(wav_file, tmp_path):
+    out = tmp_path / "выход⽇.aea"
+    cli.main(["-e", "atrac1", "-i", str(wav_file), "-o", str(out),
+              "--nostdout"])
+    assert out.exists() and out.stat().st_size > 2048
+
+
+def test_corrupted_aea_decodes_silently(wav_file, tmp_path):
+    out = tmp_path / "o.aea"
+    cli.main(["-e", "atrac1", "-i", str(wav_file), "-o", str(out),
+              "--nostdout"])
+    data = bytearray(out.read_bytes())
+    rng = np.random.default_rng(0)
+    for off in rng.integers(2048 + 212, len(data), 64):
+        data[off] ^= 0xFF
+    bad = tmp_path / "bad.aea"
+    bad.write_bytes(bytes(data))
+    dec = tmp_path / "bad.wav"
+    cli.main(["-d", "-i", str(bad), "-o", str(dec), "--nostdout"])
+    pcm, _ = wav.read(dec)
+    assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 1.0
+
+
+def test_container_autoselect_from_extension(wav_file, tmp_path):
+    out = tmp_path / "o.oma"
+    cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(out),
+              "--nostdout"])
+    assert out.read_bytes()[:3] == b"EA3"
+    out2 = tmp_path / "o.at3"
+    cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(out2),
+              "--nostdout"])
+    assert out2.read_bytes()[:4] == b"RIFF"
