@@ -23,7 +23,14 @@ def encode_file(args):
         print(f"Input file: {args.infile}\n Channels: {channels}\n "
               f"SampleRate: {rate}\n Codec: ATRAC3Plus")
 
-    planes = encode_track(pcm)
+    # --advanced ghadbg=0 disables the GHA tonal model (reference
+    # TAt3PEnc::ParseAdvancedOpt, at3p.cpp:195-284)
+    use_gha = True
+    for kv in (args.advanced or "").split(","):
+        if kv.startswith("ghadbg="):
+            use_gha = int(kv.split("=")[1]) != 0
+
+    planes = encode_track(pcm, use_gha=use_gha)
     frames = at3p_frame.pack(planes, channels)
 
     container = args.container

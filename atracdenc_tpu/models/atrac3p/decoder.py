@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from . import tables as T
 from . import frame as at3p_frame
 from . import pqf
+from . import gha
 from .mdct import imdct_frames
 
 # one-frame encoder look-ahead + one-frame MDCT OLA latency + PQF delay
@@ -20,6 +21,11 @@ def decode_track(frames: np.ndarray, channels: int) -> np.ndarray:
     """[N, 2048] frames -> [C, T] PCM (delay-compensated)."""
     n = frames.shape[0]
     specs = np.zeros((channels, n, 2048), np.float32)
+    tones = {"freq": np.zeros((channels, n, 8, 15), np.int32),
+             "amp_sf": np.zeros((channels, n, 8, 15), np.int32),
+             "phase": np.zeros((channels, n, 8, 15), np.int32),
+             "valid": np.zeros((channels, n, 8, 15), bool)}
+    any_tones = False
     for fi in range(n):
         p = at3p_frame.unpack_frame(frames[fi], channels)
         for ch in range(channels):
@@ -31,9 +37,19 @@ def decode_track(frames: np.ndarray, channels: int) -> np.ndarray:
                 specs[ch, fi, s:s + ln] = (
                     p["mant"][ch, qu, :ln] * T.MANT_TAB[wl]
                     * T.SCALE_TABLE[p["sfi"][ch, qu]])
+        if p["tones"] is not None:
+            any_tones = True
+            for k in tones:
+                tones[k][:, fi] = p["tones"][k]
 
     bands = np.asarray(imdct_frames(jnp.asarray(specs)))  # [C, N, 16, 128]
     bands = bands / T.RESIDUAL_SCALE
+    if any_tones:
+        synth = np.asarray(gha.synthesize_for_decode(
+            {k: jnp.asarray(v) for k, v in tones.items()}))
+        # imdct_frames out[f] reconstructs coded frame f-1, so the tone
+        # signal shifts by the same one-frame OLA latency
+        bands[:, 1:, :gha.NUM_TONE_SUBBANDS, :] += synth[:, :-1]
     stream = np.swapaxes(bands, 1, 2).reshape(channels, 16, -1)
     pcm = np.stack([pqf.ipqf_np(stream[ch]) for ch in range(channels)])
     return np.clip(pcm[:, pqf.PQF_DELAY_SAMPLES:], -1.0, 1.0)

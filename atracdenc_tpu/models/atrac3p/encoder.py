@@ -23,6 +23,7 @@ import numpy as np
 from atracdenc_tpu.ops import scale as scale_ops
 from . import tables as T
 from . import pqf
+from . import gha
 from .mdct import mdct_frames
 
 _GATHER_IDX = jnp.asarray(T.GATHER_IDX)
@@ -117,14 +118,24 @@ def _const_bits(channels):
     return bits
 
 
-@partial(jax.jit, static_argnames=())
-def _encode_core(pcm):
+@partial(jax.jit, static_argnames=("use_gha",))
+def _encode_core(pcm, use_gha=True):
     c, t = pcm.shape
     f = t // T.NUM_SAMPLES
 
     bands = band_frames(pcm)                        # [C, F, 16, 128]
+    if use_gha:
+        tone_planes = gha.extract(bands)
+        resid = gha.subtract(bands, tone_planes)
+        # shift to output alignment (one-frame LOOK_AHEAD delay)
+        tone_out = {k: jnp.pad(v[:, :-1],
+                               ((0, 0), (1, 0)) + ((0, 0),) * (v.ndim - 2))
+                    for k, v in tone_planes.items()}
+    else:
+        resid = bands
+        tone_out = None
     # one-frame delay: output frame f carries content frame f-1 (LOOK_AHEAD)
-    res = jnp.pad(bands[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    res = jnp.pad(resid[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
     specs = mdct_frames(res * T.RESIDUAL_SCALE)     # [C, F, 2048]
 
     blocks = gather_qu_blocks(specs)                # [C, F, 32, 128]
@@ -146,10 +157,10 @@ def _encode_core(pcm):
     spec_tab = jnp.argmin(cost, axis=-1).astype(jnp.int32)
     spec_bits = jnp.min(cost, axis=-1)              # [C, F, 32]
 
-    return sfi, mant, spec_tab, spec_bits
+    return sfi, mant, spec_tab, spec_bits, tone_out
 
 
-def encode_track(pcm: np.ndarray):
+def encode_track(pcm: np.ndarray, use_gha=True):
     """[C, T] PCM -> ATRAC3+ frame planes (dict of numpy arrays)."""
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
     c, t = pcm.shape
@@ -157,8 +168,22 @@ def encode_track(pcm: np.ndarray):
     if pad:
         pcm = np.pad(pcm, ((0, 0), (0, pad)))
 
+    sfi, mant, spec_tab, spec_bits, tone_out = _encode_core(
+        jnp.asarray(pcm), use_gha=use_gha)
     sfi, mant, spec_tab, spec_bits = (
-        np.asarray(x) for x in _encode_core(jnp.asarray(pcm)))
+        np.asarray(x) for x in (sfi, mant, spec_tab, spec_bits))
+    tones = None
+    if tone_out is not None:
+        import jax
+        tones = jax.device_get(tone_out)
+        # wire order wants ascending frequencies per band
+        order = np.argsort(
+            np.where(tones["valid"], tones["freq"], 1 << 20), axis=-1)
+        tones = {k: np.take_along_axis(v, order, axis=-1) for k, v in
+                 tones.items()}
+        tonal_bits = _tonal_section_bits(tones, c)
+    else:
+        tonal_bits = np.zeros(sfi.shape[1], np.int64)
 
     # NumQuantUnits shrink (CheckFrameDone, at3p_bitstream.cpp:529-541):
     # candidates 32, 28, 27, ... 1; first whose total fits 2048*8-3 bits
@@ -166,7 +191,7 @@ def encode_track(pcm: np.ndarray):
     const_bits = _const_bits(c)
     cum = np.concatenate([np.zeros_like(spec_bits[..., :1]),
                           np.cumsum(spec_bits, axis=-1)], axis=-1)  # [C,F,33]
-    total = const_bits[None] + cum.sum(axis=0)      # [F, 33]
+    total = const_bits[None] + cum.sum(axis=0) + tonal_bits[:, None]
     candidates = [32] + list(range(28, 0, -1))
     num_qu = np.full(total.shape[0], 1, np.int32)
     chosen = np.zeros(total.shape[0], bool)
@@ -174,9 +199,33 @@ def encode_track(pcm: np.ndarray):
         ok = ~chosen & (total[:, nq] <= budget)
         num_qu[ok] = nq
         chosen |= ok
-    return {
+    out = {
         "num_qu": num_qu,
         "sfi": sfi,
         "mant": mant,
         "spec_tab": spec_tab,
     }
+    if tones is not None:
+        out["tones"] = tones
+    return out
+
+
+def _num_tone_bands(tones):
+    """[F] number of tone bands per output frame (0 = no tonal block)."""
+    any_wave = tones["valid"].any(axis=-1).any(axis=0)   # [F, 8]
+    nb = np.where(any_wave, np.arange(8)[None, :] + 1, 0).max(axis=-1)
+    return nb.astype(np.int64)
+
+
+def _tonal_section_bits(tones, channels):
+    """Bits of the tonal block per frame (WriteTonalBlock dry run,
+    at3p_bitstream.cpp:366-520); the 'tonal present' flag itself lives in
+    the constant section."""
+    from . import frame as fr
+    nb = _num_tone_bands(tones)
+    bits = np.zeros(nb.shape[0], np.int64)
+    for fi in range(nb.shape[0]):
+        if nb[fi]:
+            bits[fi] = sum(w for _, w in fr.tonal_block_fields(
+                tones, fi, channels, int(nb[fi])))
+    return bits

@@ -70,6 +70,7 @@ def pack(planes, channels: int) -> np.ndarray:
     sfi = planes["sfi"]
     mant = planes["mant"]
     spec_tab = planes["spec_tab"]
+    tones = planes.get("tones")
     n = num_qu.shape[0]
 
     frames = np.zeros((n, T.FRAME_BYTES), np.uint8)
@@ -101,7 +102,16 @@ def pack(planes, channels: int) -> np.ndarray:
             fields.append((0, 2))
         fields += [(0, 1)] * channels            # sine windows
         fields += [(0, 1)] * channels            # gain comp
-        fields += [(0, 1), (0, 1), (3, 2)]       # no tonal, no noise, term
+        nb = 0
+        if tones is not None:
+            active = tones["valid"][:, fi].any(-1).any(0)
+            nb = int(np.where(active, np.arange(8) + 1, 0).max())
+        if nb:
+            fields.append((1, 1))
+            fields += tonal_block_fields(tones, fi, channels, nb)
+        else:
+            fields.append((0, 1))                # no tonal block
+        fields += [(0, 1), (3, 2)]               # no noise, terminator
 
         values = np.array([v for v, _ in fields], np.uint32)[None]
         widths = np.array([w for _, w in fields], np.int64)[None]
@@ -209,5 +219,160 @@ def unpack_frame(data: np.ndarray, channels: int):
         npwr = int(T.SUBBAND_TO_NUM_POWGRPS[T.QU_TO_SUBBAND[nq - 1]])
         for _ in range(npwr):
             assert br.read(4) == 15
+
+    # trailing channel-unit data: windows, gain, tonal block, noise, term
+    if channels == 2:
+        assert br.read(2) == 0                   # swap/negate
+    for ch in range(channels):
+        if br.read(1):                           # window shape flags
+            if br.read(1):
+                sbn = int(T.QU_TO_SUBBAND[nq - 1]) + 1
+                for _ in range(sbn):
+                    br.read(1)
+    for ch in range(channels):
+        assert br.read(1) == 0                   # gain comp
+    tones = None
+    if br.read(1):
+        tones = _parse_tonal_block(br, channels)
+    assert br.read(1) == 0                       # noise
+    assert br.read(2) == 3                       # terminator
     return {"num_qu": nq, "wordlen": wl, "sfi": sfi, "mant": mant,
-            "spec_tab": spec_tab, "bits_used": br.pos}
+            "spec_tab": spec_tab, "tones": tones, "bits_used": br.pos}
+
+
+def _parse_tonal_block(br, channels):
+    """Inverse of tonal_block_fields (QA parser)."""
+    assert br.read(1) == 1                       # amplitude mode 1
+    nb = _read_vlc(br, T.TONE_BANDS_CODE, T.TONE_BANDS_LEN) + 1
+    if channels == 2:
+        assert br.read(1) == 0                   # no tone sharing
+        assert br.read(1) == 0                   # second-is-leader flags
+        assert br.read(1) == 0
+    out = {"freq": np.zeros((channels, 8, 15), np.int32),
+           "amp_sf": np.zeros((channels, 8, 15), np.int32),
+           "phase": np.zeros((channels, 8, 15), np.int32),
+           "valid": np.zeros((channels, 8, 15), bool)}
+    for ch in range(channels):
+        if ch:
+            assert br.read(1) == 0
+        for sb in range(nb):
+            if br.read(1):
+                br.read(5)
+            if br.read(1):
+                br.read(5)
+        assert br.read(ch + 1) == 0              # num-waves mode
+        nw = [br.read(4) for _ in range(nb)]
+        if ch:
+            assert br.read(1) == 0
+        for sb in range(nb):
+            if nw[sb] == 0:
+                continue
+            order = br.read(1) if nw[sb] > 1 else 0
+            freqs = [br.read(10)]
+            if order == 0:                       # ascending
+                for _ in range(1, nw[sb]):
+                    prev = freqs[-1]
+                    if prev < 512:
+                        freqs.append(br.read(10))
+                    else:
+                        b = _fsb(1023 - prev) + 1
+                        freqs.append(br.read(b) + (1024 - (1 << b)))
+            else:                                # descending
+                for _ in range(1, nw[sb]):
+                    prev = freqs[-1]
+                    b = _fsb(prev) + 1
+                    freqs.append(br.read(b))
+                freqs = freqs[::-1]
+            for w, fq in enumerate(freqs):
+                out["freq"][ch, sb, w] = fq
+                out["valid"][ch, sb, w] = True
+        assert br.read(ch + 1) == 0              # amplitude mode
+        for sb in range(nb):
+            for w in range(nw[sb]):
+                out["amp_sf"][ch, sb, w] = br.read(6)
+        for sb in range(nb):
+            for w in range(nw[sb]):
+                out["phase"][ch, sb, w] = br.read(5)
+    return out
+
+
+# --- tonal block (WriteTonalBlock, at3p_bitstream.cpp:366-520) --------------
+
+def _fsb(x: int) -> int:
+    """Position of the highest set bit; 0 for input 0 (util.h:65-76)."""
+    return max(x.bit_length() - 1, 0)
+
+
+def create_freq_bit_pack(freqs):
+    """Frequency packing, ascending vs descending order by total bits
+    (CreateFreqBitPack, at3p_bitstream.cpp:41-94).  `freqs` ascending."""
+    n = len(freqs)
+    asc = [(freqs[0] & 1023, 10)]
+    bits_asc = 10
+    prev = freqs[0] & 1023
+    for i in range(1, n):
+        cur = freqs[i] & 1023
+        if prev < 512:
+            asc.append((cur, 10))
+            bits_asc += 10
+        else:
+            b = _fsb(1023 - prev) + 1
+            asc.append((cur - (1024 - (1 << b)), b))
+            bits_asc += b
+        prev = cur
+    if n == 1:
+        return asc, 0
+    desc = [(freqs[-1] & 1023, 10)]
+    bits_desc = 10
+    prev = freqs[-1] & 1023
+    for i in range(n - 2, -1, -1):
+        cur = freqs[i] & 1023
+        b = _fsb(prev) + 1
+        desc.append((cur, b))
+        bits_desc += b
+        prev = cur
+    if bits_asc < bits_desc:
+        return asc, 0
+    return desc, 1
+
+
+def tonal_block_fields(tones, fi, channels, nb):
+    """One frame's tonal-block fields [(value, width), ...]; `tones` planes
+    are frequency-sorted, `nb` = NumToneBands >= 1."""
+    fields = [(1, 1)]                                 # GHA amplitude mode 1
+    fields.append((int(T.TONE_BANDS_CODE[nb - 1]),
+                   int(T.TONE_BANDS_LEN[nb - 1])))
+    if channels == 2:
+        fields.append((0, 1))                         # ToneSharing: none
+        fields.append((0, 1))                         # SecondIsLeader: false
+        fields.append((0, 1))
+    for ch in range(channels):
+        if ch:
+            fields.append((0, 1))                     # own envelope data
+        for sb in range(nb):
+            fields += [(0, 1), (0, 1)]                # no start/stop point
+        fields.append((0, ch + 1))                    # num-waves mode
+        nw = [int(tones["valid"][ch, fi, sb].sum()) for sb in range(nb)]
+        for sb in range(nb):
+            fields.append((nw[sb], 4))
+        if ch:
+            fields.append((0, 1))                     # freqs independent
+        for sb in range(nb):
+            if nw[sb] == 0:
+                continue
+            freqs = [int(x) for x in
+                     tones["freq"][ch, fi, sb][tones["valid"][ch, fi, sb]]]
+            pack, order = create_freq_bit_pack(freqs)
+            if nw[sb] > 1:
+                fields.append((order, 1))
+            fields += pack
+        fields.append((0, ch + 1))                    # amplitude mode
+        for sb in range(nb):
+            sfs = tones["amp_sf"][ch, fi, sb][tones["valid"][ch, fi, sb]]
+            for v in sfs:
+                fields.append((int(v), 6))
+        for sb in range(nb):
+            phs = tones["phase"][ch, fi, sb][tones["valid"][ch, fi, sb]]
+            for v in phs:
+                fields.append((int(v), 5))
+    return fields

@@ -58,7 +58,7 @@ def coded():
         0.5 * np.sin(2 * np.pi * 997 * n / 44100)
         + 0.02 * rng.standard_normal(t),
         0.4 * np.sin(2 * np.pi * 1503 * n / 44100)]).astype(np.float32)
-    planes = encode_track(pcm)
+    planes = encode_track(pcm, use_gha=False)
     frames = at3p_frame.pack(planes, 2)
     return pcm, planes, frames
 
@@ -101,3 +101,25 @@ def test_mono(coded):
     assert frames.shape == (3, T.FRAME_BYTES)
     p = at3p_frame.unpack_frame(frames[1], 1)
     assert p["num_qu"] == planes["num_qu"][1]
+
+
+def test_gha_tonal_model_improves_quality(coded):
+    pcm, _, frames_plain = coded
+    planes = encode_track(pcm, use_gha=True)
+    frames = at3p_frame.pack(planes, 2)
+    # tones survive the wire
+    p = at3p_frame.unpack_frame(frames[3], 2)
+    assert p["tones"] is not None and p["tones"]["valid"].any()
+    dec_gha = decode_track(frames, 2)
+    dec_plain = decode_track(frames_plain, 2)
+    d = 2 * T.NUM_SAMPLES
+    t = pcm.shape[1]
+    m = t - d - 2048
+    x = pcm[:, :m].astype(np.float64)
+
+    def psnr(y):
+        e = x - y[:, d:d + m].astype(np.float64)
+        return 10 * np.log10((x ** 2).mean() / (e ** 2).mean())
+
+    p_gha, p_plain = psnr(dec_gha), psnr(dec_plain)
+    assert p_gha > p_plain + 3.0, f"GHA {p_gha:.2f} vs plain {p_plain:.2f} dB"
