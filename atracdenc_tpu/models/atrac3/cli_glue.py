@@ -37,6 +37,19 @@ def encode_file(args, lp4=False):
                           bfu_idx_const=args.bfuidxconst)
     frames = at3_frame.pack(planes, frame_size, js=js)
 
+    if getattr(args, "yaml_log", None) and not args.nogaincontrol:
+        import jax, jax.numpy as jnp
+        from . import gain, yaml_log
+        from .encoder import band_frames
+        bands = band_frames(jnp.asarray(
+            __import__("numpy").atleast_2d(pcm.astype("float32"))))
+        if js and bands.shape[0] == 2:
+            bands = jnp.stack([(bands[0] + bands[1]) * 0.5,
+                               (bands[0] - bands[1]) * 0.5])
+        *_, dbg = gain.gain_control(bands, debug=True)
+        with open(args.yaml_log, "w") as fp:
+            yaml_log.write(fp, planes, jax.device_get(dbg))
+
     import os
     container = args.container
     if container is None:

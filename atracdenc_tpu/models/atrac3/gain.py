@@ -342,11 +342,13 @@ def _keep_to_points(sf_level, keep):
             n.astype(jnp.int32))
 
 
-def gain_control(bands):
+def gain_control(bands, debug=False):
     """Full gain-curve construction for a whole track.
 
     bands: [C, F, 4, 256] per-frame band samples (the MDCT input domain).
-    Returns (levels [C, F, 4, 8], locs [C, F, 4, 8], npoints [C, F, 4]).
+    Returns (levels [C, F, 4, 8], locs [C, F, 4, 8], npoints [C, F, 4]);
+    with debug=True also a dict of per-band intermediates for the YAML log
+    (the reference's --yaml-log stream, yaml_log.h:19-57).
     """
     c, f, nb, _ = bands.shape
     stream = jnp.swapaxes(bands, 1, 2).reshape(c, nb, f * 256)
@@ -467,8 +469,15 @@ def gain_control(bands):
     npts = jnp.where(redundant, npts - 1, npts)
 
     slot_valid = jnp.arange(8) < npts[..., None]
-    return (jnp.where(slot_valid, levels, 0),
-            jnp.where(slot_valid, locs, 0), npts)
+    out = (jnp.where(slot_valid, levels, 0),
+           jnp.where(slot_valid, locs, 0), npts)
+    if debug:
+        dbg = {"high_freq_ratio": hfr, "hpf_overlap_ratio": hpf_overlap,
+               "dynamic_min_score": dyn_min_score, "gain": gain,
+               "target": tgt, "prev_target": saved_last_target,
+               "max_gain": max_gain}
+        return out + (dbg,)
+    return out
 
 
 def safe_energy_scale(orig, mod):
