@@ -56,11 +56,38 @@ def spread_from_sfi(sfi):
     return jnp.minimum(jnp.sqrt(var), 14.0) / 14.0
 
 
+def init_state(c):
+    """Carry state for exact chunked encoding (all reference carries from
+    SURVEY.md §3.6 that are true recurrences)."""
+    return {
+        "gain": gain.init_ctx(c),
+        "mdct_prev": jnp.zeros((c, 4, 256), jnp.float32),
+        "next_overlap": jnp.ones((c, 4), jnp.float32),
+        "loudness": jnp.asarray(T.LOUD_FACTOR, jnp.float32),
+        "pcm_tail": jnp.zeros((c, T.NUM_SAMPLES), jnp.float32),
+    }
+
+
 @partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
                                    "no_tonal", "bfu_idx_const"))
 def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
                   no_tonal=True, bfu_idx_const=0):
+    planes, _ = encode_frames_chunk(pcm, None, None, frame_bytes, js,
+                                    no_gain_control, no_tonal, bfu_idx_const)
+    return planes
+
+
+@partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
+                                   "no_tonal", "bfu_idx_const"))
+def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
+                        js=False, no_gain_control=True, no_tonal=True,
+                        bfu_idx_const=0):
     """Encode [C, T] PCM (T multiple of 1024) into ATRAC3 frame planes.
+
+    `state` carries the exact cross-chunk recurrences (gain context, MDCT
+    overlap, loudness IIR) for long tracks; `next_pcm` provides the
+    lookahead input (the 1024 samples after this chunk, or None at track
+    end).  Returns (planes, new_state).
 
     Gain control and tonal components are staged in follow-up commits; the
     current planes match the reference's --nogaincontrol --notonal mode.
@@ -72,14 +99,29 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
     """
     c, t = pcm.shape
     f = t // T.NUM_SAMPLES
+    if state is None:
+        state = init_state(c)
 
-    bands = band_frames(pcm)                         # [C, F, 4, 256]
+    # QMF needs ~366 input samples of history: prepend the previous chunk's
+    # tail frame and drop its band outputs
+    ext = jnp.concatenate([state["pcm_tail"], pcm], axis=-1)
+    bands = band_frames(ext)[:, 1:]                  # [C, F, 4, 256]
+    if next_pcm is None:
+        next_head = jnp.zeros((c, 4, 128), pcm.dtype)
+    else:
+        # lookahead band samples: QMF of [this chunk's tail | next 1024];
+        # the filter warmup needs ~366 prior input samples
+        la = jnp.concatenate([pcm[:, -2048:], next_pcm], axis=-1)
+        la_bands = filterbank.analysis(la * 0.25)[..., -256:-128]
+        next_head = la_bands                          # [C, 4, 128]
     if js and c == 2:
         # M/S matrixing in the band-sample domain (atrac3denc.cpp:665-677;
         # M/S is linear, so matrixing the whole stream equals matrixing the
         # reference's per-frame buffers and gain-analysis windows)
         bands = jnp.stack([(bands[0] + bands[1]) * 0.5,
                            (bands[0] - bands[1]) * 0.5])
+        next_head = jnp.stack([(next_head[0] + next_head[1]) * 0.5,
+                               (next_head[0] - next_head[1]) * 0.5])
 
     if no_gain_control:
         # empty gain curves (SubbandInfo with 4 bands, 0 points each)
@@ -87,13 +129,20 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
         gain_levels = jnp.zeros((c, f, 4, 8), jnp.int32)
         gain_locs = jnp.zeros((c, f, 4, 8), jnp.int32)
         gain_scale_frame = jnp.ones((c, f, 4), jnp.float32)
-        specs = mdct_frames(bands)                   # [C, F, 1024]
+        gain_ctx_out = state["gain"]
+        es_carry = (state["mdct_prev"], state["next_overlap"])
+        specs = mdct_frames(bands, prev_half=state["mdct_prev"])
+        mdct_last = jnp.asarray(T.ENCODE_WINDOW) * bands[:, -1]
     else:
-        gain_levels, gain_locs, gain_npoints = gain.gain_control(bands)
+        gain_levels, gain_locs, gain_npoints, gain_ctx_out =             gain.gain_control(bands, ctx=state["gain"], next_head=next_head)
         div = gain_divisors(gain_levels, gain_locs, gain_npoints)
         scale = first_level_scale(gain_levels, gain_npoints)
-        gain_scale_frame = gain.energy_scale(bands, div, scale)
-        specs = mdct_frames(bands, div, scale)
+        gain_scale_frame, es_carry = gain.energy_scale(
+            bands, div, scale, prev_half=state["mdct_prev"],
+            prev_overlap_init=state["next_overlap"])
+        specs = mdct_frames(bands, div, scale,
+                            prev_half=state["mdct_prev"])
+        mdct_last = es_carry[0]
 
     # loudness IIR (atrac3denc.cpp:811-841): stereo non-JS averages both
     # channels; mono and JS use channel 0 only.
@@ -103,11 +152,11 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
     if c == 2 and not js:
         loud = psy.track_loudness_scan(
             frame_loud[0], frame_loud[1], jnp.ones((f,), bool),
-            jnp.zeros((f,), bool), T.LOUD_FACTOR)
+            jnp.zeros((f,), bool), state["loudness"])
     else:
         loud = psy.track_loudness_scan(
             frame_loud[0], jnp.zeros((f,)), jnp.zeros((f,), bool),
-            jnp.ones((f,), bool), T.LOUD_FACTOR)
+            jnp.ones((f,), bool), state["loudness"])
     loudness = loud / T.LOUD_FACTOR                  # [F], shared by channels
 
     # tonal component extraction (atrac3denc.cpp:822-827); flatness and
@@ -197,19 +246,49 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
         out["tonal_mant"] = jnp.sum(
             tonal_planes["mant"].astype(jnp.int8) * ohq[..., None],
             axis=-2).astype(jnp.int8)
-    return out
+
+    state_out = {"gain": gain_ctx_out, "mdct_prev": mdct_last,
+                 "next_overlap": es_carry[1], "loudness": loud[-1],
+                 "pcm_tail": pcm[:, -T.NUM_SAMPLES:]}
+    return out, state_out
 
 
 def encode_track(pcm: np.ndarray, frame_bytes=384, js=False,
-                 no_gain_control=True, no_tonal=True, bfu_idx_const=0):
-    """NumPy convenience wrapper: pads to a whole number of frames."""
+                 no_gain_control=True, no_tonal=True, bfu_idx_const=0,
+                 chunk_frames=1024):
+    """NumPy convenience wrapper: pads to a whole number of frames and
+    encodes long tracks in exact chunks (bounded device memory; the carry
+    state makes chunked output identical to whole-track output)."""
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
     c, t = pcm.shape
     pad = (-t) % T.NUM_SAMPLES
     if pad:
         pcm = np.pad(pcm, ((0, 0), (0, pad)))
-    import jax
-    planes = encode_frames(jnp.asarray(pcm), frame_bytes=frame_bytes, js=js,
-                           no_gain_control=no_gain_control, no_tonal=no_tonal,
-                           bfu_idx_const=bfu_idx_const)
-    return jax.device_get(planes)
+    f_total = pcm.shape[1] // T.NUM_SAMPLES
+
+    if f_total <= chunk_frames:
+        planes = encode_frames(
+            jnp.asarray(pcm), frame_bytes=frame_bytes, js=js,
+            no_gain_control=no_gain_control, no_tonal=no_tonal,
+            bfu_idx_const=bfu_idx_const)
+        return jax.device_get(planes)
+
+    state = None
+    outs = []
+    for a in range(0, f_total, chunk_frames):
+        b = min(a + chunk_frames, f_total)
+        chunk = jnp.asarray(pcm[:, a * T.NUM_SAMPLES: b * T.NUM_SAMPLES])
+        nxt = None
+        if b < f_total:
+            nxt = jnp.asarray(
+                pcm[:, b * T.NUM_SAMPLES: (b + 1) * T.NUM_SAMPLES])
+        planes, state = encode_frames_chunk(
+            chunk, state, nxt, frame_bytes=frame_bytes, js=js,
+            no_gain_control=no_gain_control, no_tonal=no_tonal,
+            bfu_idx_const=bfu_idx_const)
+        outs.append(jax.device_get(planes))
+    merged = {}
+    for k in outs[0]:
+        axis = 0 if outs[0][k].ndim == 1 else 1
+        merged[k] = np.concatenate([o[k] for o in outs], axis=axis)
+    return merged

@@ -342,18 +342,35 @@ def _keep_to_points(sf_level, keep):
             n.astype(jnp.int32))
 
 
-def gain_control(bands, debug=False):
-    """Full gain-curve construction for a whole track.
+def init_ctx(c):
+    """Fresh cross-frame gain context (CurveCtx zeros + the prev band tail)."""
+    z = jnp.zeros((c, 4), jnp.float32)
+    return {"last_level": z, "last_target": z, "last_hpf": z,
+            "prev_tail": jnp.zeros((c, 4, 128), jnp.float32)}
+
+
+def gain_control(bands, ctx=None, next_head=None, debug=False):
+    """Full gain-curve construction for a whole track (or one exact chunk).
 
     bands: [C, F, 4, 256] per-frame band samples (the MDCT input domain).
-    Returns (levels [C, F, 4, 8], locs [C, F, 4, 8], npoints [C, F, 4]);
-    with debug=True also a dict of per-band intermediates for the YAML log
-    (the reference's --yaml-log stream, yaml_log.h:19-57).
+    ctx: carried context from the previous chunk (init_ctx for track start);
+    next_head: [C, 4, 128] first half of the frame after this chunk (the
+    gain-analysis lookahead), zeros at track end like the reference's drain.
+    Returns (levels [C, F, 4, 8], locs [C, F, 4, 8], npoints [C, F, 4],
+    ctx_out); with debug=True also a dict of per-band intermediates for the
+    YAML log (the reference's --yaml-log stream, yaml_log.h:19-57).
     """
     c, f, nb, _ = bands.shape
+    if ctx is None:
+        ctx = init_ctx(c)
+    if next_head is None:
+        next_head = jnp.zeros((c, nb, 128), bands.dtype)
     stream = jnp.swapaxes(bands, 1, 2).reshape(c, nb, f * 256)
-    prev128 = jnp.pad(stream, ((0, 0), (0, 0), (128, 0)))[..., :f * 256]
-    next128 = jnp.pad(stream, ((0, 0), (0, 0), (0, 256)))[..., 256:f * 256 + 256]
+    prev128 = jnp.concatenate(
+        [ctx["prev_tail"], stream[..., :-128]], axis=-1)
+    next128 = jnp.concatenate(
+        [stream[..., 256:], next_head, jnp.zeros_like(stream[..., :128])],
+        axis=-1)
     up_in = jnp.concatenate([
         prev128.reshape(c, nb, f, 256)[..., :128],
         stream.reshape(c, nb, f, 256),
@@ -377,15 +394,15 @@ def gain_control(bands, debug=False):
         g = jnp.take_along_axis(x, jnp.maximum(prev_valid, 0), axis=1)
         return jnp.where(prev_valid >= 0, g, default)
 
-    prev_hpf = hold(cur_hpf, 0.0)
+    prev_hpf = hold(cur_hpf, ctx["last_hpf"][:, None])
     hpf_overlap = jnp.where((cur_hpf > 1e-9) & (prev_hpf > 1e-9),
                             prev_hpf / cur_hpf, 1.0)
     dyn_min_score = _MIN_SCORE * jnp.clip(hpf_overlap, 1.0, 1.5)
 
     # LastLevel is set on every frame: 0 when hfr-skipped, else gain[31]
     last_level_f = jnp.where(valid, gain[..., -1], 0.0)
-    saved_last_level = jnp.pad(last_level_f, ((0, 0), (1, 0), (0, 0))
-                               )[:, :-1]
+    saved_last_level = jnp.concatenate(
+        [ctx["last_level"][:, None], last_level_f[:, :-1]], axis=1)
 
     sf_level, keep, tgt, _, last_target_f = calc_curve(
         gain, lo, hi, saved_last_level,
@@ -393,7 +410,8 @@ def gain_control(bands, debug=False):
         dyn_min_score)
     # LastTarget holds across hfr-skipped frames; recompute the sticky
     # eligibility and the curve with the true saved target.
-    saved_last_target = hold(jnp.where(valid, tgt, 0.0), 0.0)
+    saved_last_target = hold(jnp.where(valid, tgt, 0.0),
+                             ctx["last_target"][:, None])
     sf_level, keep, tgt, _, _ = calc_curve(
         gain, lo, hi, saved_last_level, saved_last_target, dyn_min_score)
     keep = keep & valid[..., None]
@@ -469,8 +487,22 @@ def gain_control(bands, debug=False):
     npts = jnp.where(redundant, npts - 1, npts)
 
     slot_valid = jnp.arange(8) < npts[..., None]
+
+    # carried context after the last frame of this chunk
+    lv = last_valid[:, -1]                            # [C, 4]
+    def at_last(x, default):
+        g = jnp.take_along_axis(x, jnp.maximum(lv, 0)[:, None], axis=1)[:, 0]
+        return jnp.where(lv >= 0, g, default)
+    ctx_out = {
+        "last_level": last_level_f[:, -1],
+        "last_target": at_last(jnp.where(valid, tgt, 0.0),
+                               ctx["last_target"]),
+        "last_hpf": at_last(cur_hpf, ctx["last_hpf"]),
+        "prev_tail": bands[:, -1, :, 128:],
+    }
+
     out = (jnp.where(slot_valid, levels, 0),
-           jnp.where(slot_valid, locs, 0), npts)
+           jnp.where(slot_valid, locs, 0), npts, ctx_out)
     if debug:
         dbg = {"high_freq_ratio": hfr, "hpf_overlap_ratio": hpf_overlap,
                "dynamic_min_score": dyn_min_score, "gain": gain,
@@ -488,16 +520,24 @@ def safe_energy_scale(orig, mod):
     return jnp.where(bad | ~jnp.isfinite(s) | (s <= 0), 1.0, s)
 
 
-def energy_scale(bands, div, scale):
+def energy_scale(bands, div, scale, prev_half=None, prev_overlap_init=None):
     """CalcGainEnergyScale.Frame per band frame (atrac3denc.cpp:175-224).
 
     bands [C, F, 4, 256] raw band samples, div the per-frame divisor curves,
-    scale the per-frame first gain level.  Returns gs_frame [C, F, 4].
+    scale the per-frame first gain level; prev_half / prev_overlap_init
+    carry the stored MDCT half and NextOverlapScale across chunks.
+    Returns (gs_frame [C, F, 4], carry (stored_last [C, 4, 256],
+    next_overlap_last [C, 4])).
     """
     enc_win = jnp.asarray(T.ENCODE_WINDOW)
     stored = enc_win * (bands / div)                  # windowed modulated
-    prev_stored_e = jnp.sum(stored * stored, axis=-1)
-    prev_stored_e = jnp.pad(prev_stored_e[..., :-1, :], [(0, 0), (1, 0), (0, 0)])
+    if prev_half is None:
+        prev_stored = jnp.pad(stored[..., :-1, :, :],
+                              [(0, 0), (1, 0), (0, 0), (0, 0)])
+    else:
+        prev_stored = jnp.concatenate(
+            [prev_half[:, None], stored[..., :-1, :, :]], axis=1)
+    prev_stored_e = jnp.sum(prev_stored * prev_stored, axis=-1)
 
     mod = bands / div
     w_cur = enc_win[::-1]
@@ -508,13 +548,15 @@ def energy_scale(bands, div, scale):
     next_mod = jnp.sum((mod * w_next) ** 2, axis=-1)
 
     next_overlap = safe_energy_scale(next_orig, next_mod)
-    prev_overlap_scale = jnp.pad(next_overlap[..., :-1, :],
-                                 [(0, 0), (1, 0), (0, 0)],
-                                 constant_values=1.0)
+    init = (jnp.ones_like(next_overlap[..., :1, :]) if prev_overlap_init
+            is None else prev_overlap_init[:, None])
+    prev_overlap_scale = jnp.concatenate(
+        [init, next_overlap[..., :-1, :]], axis=1)
     prev_overlap_scale = jnp.where(
         jnp.isfinite(prev_overlap_scale) & (prev_overlap_scale > 0),
         prev_overlap_scale, 1.0)
 
     prev_orig = prev_stored_e * prev_overlap_scale
     prev_mod = prev_stored_e / (scale * scale)
-    return safe_energy_scale(prev_orig + cur_orig, prev_mod + cur_mod)
+    gs = safe_energy_scale(prev_orig + cur_orig, prev_mod + cur_mod)
+    return gs, (stored[:, -1], next_overlap[:, -1])

@@ -88,20 +88,26 @@ def first_level_scale(levels, npoints):
     return _GAIN_LEVEL[lev0]
 
 
-def mdct_frames(bands, div=None, scale=None):
-    """Forward windowed MDCT over a whole track.
+def mdct_frames(bands, div=None, scale=None, prev_half=None):
+    """Forward windowed MDCT over a whole track (or one exact chunk).
 
     bands: [..., F, 4, 256] per-frame band samples (QMF output, /4 scaled)
     div:   [..., F, 4, 256] gain divisor curves (optional)
     scale: [..., F, 4] first-level scale of the *current* frame's curve
            (divides the stored previous half — gain_processor.h:97-105)
+    prev_half: [..., 4, 256] carried windowed-modulated half from the frame
+           before this chunk (zeros at track start)
     Returns specs [..., F, 1024] (odd bands spectrum-reversed, reference
     atrac3denc.cpp:52-54).
     """
     cur = bands if div is None else bands / div
     stored = _ENC_WIN * cur                      # windowed modulated current
-    prev = jnp.pad(stored[..., :-1, :, :], [(0, 0)] * (bands.ndim - 3)
-                   + [(1, 0), (0, 0), (0, 0)])
+    if prev_half is None:
+        prev = jnp.pad(stored[..., :-1, :, :], [(0, 0)] * (bands.ndim - 3)
+                       + [(1, 0), (0, 0), (0, 0)])
+    else:
+        prev = jnp.concatenate(
+            [prev_half[..., None, :, :], stored[..., :-1, :, :]], axis=-3)
     if scale is not None:
         prev = prev / scale[..., None]
     tail = _ENC_WIN[::-1] * cur

@@ -74,22 +74,25 @@ def track_loudness_scan(l0, l1, use_both, use_one, init):
     Returns the post-update loudness per frame, shape [n_frames].
 
     This is the encoder's only true cross-frame recurrence.  It is linear
-    (L_n = a_n * L_{n-1} + b_n with a_n in {0.98, 1}), so instead of a
-    sequential `lax.scan` it runs as a log-depth `associative_scan` over the
-    (a, b) affine pairs — fully parallel over frames on the VPU, and exactly
-    shardable across chips (the shard stitch is one affine pair over ICI).
+    (L_n = a_n * L_{n-1} + b_n with a_n in {0.98, 1}) and could run as a
+    log-depth associative scan, but float addition is not associative: the
+    regrouped result differs in the last ulp from the reference's sequential
+    IIR, and those ulps cross ATH-gate knife edges.  A sequential `lax.scan`
+    of scalar ops is exact (and cheap — the carry is one float per stream);
+    when frame ranges are sharded, the cross-shard stitch is one affine
+    (a, b) pair exchanged over ICI.
     """
     a = jnp.where(use_both | use_one, 0.98, 1.0).astype(l0.dtype)
     b = jnp.where(use_both, 0.01 * (l0 + l1),
                   jnp.where(use_one, 0.02 * l0, 0.0)).astype(l0.dtype)
 
-    def compose(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 * a2, a2 * b1 + b2
+    def step(carry, ab):
+        a_k, b_k = ab
+        out = a_k * carry + b_k
+        return out, out
 
-    a_pref, b_pref = jax.lax.associative_scan(compose, (a, b))
-    return a_pref * jnp.asarray(init, l0.dtype) + b_pref
+    _, seq = jax.lax.scan(step, jnp.asarray(init, l0.dtype), (a, b))
+    return seq
 
 
 def analyze_scale_factor_spread(sfis, valid_mask):
