@@ -404,12 +404,12 @@ def gain_control(bands, ctx=None, next_head=None, debug=False):
     saved_last_level = jnp.concatenate(
         [ctx["last_level"][:, None], last_level_f[:, :-1]], axis=1)
 
-    sf_level, keep, tgt, _, last_target_f = calc_curve(
-        gain, lo, hi, saved_last_level,
-        jnp.zeros_like(cur_hpf),  # placeholder, fixed below
-        dyn_min_score)
-    # LastTarget holds across hfr-skipped frames; recompute the sticky
-    # eligibility and the curve with the true saved target.
+    # the target depends only on the plateau analysis, so the LastTarget
+    # hold chain resolves without running the full curve construction twice
+    plateau, max_raw_p, release = _find_plateau(gain)
+    use_plateau = (plateau > 1e-6) & ~release \
+        & (plateau >= max_raw_p * _MIN_PLATEAU_FRACTION)
+    tgt = jnp.where(use_plateau, plateau, gain[..., -1])
     saved_last_target = hold(jnp.where(valid, tgt, 0.0),
                              ctx["last_target"][:, None])
     sf_level, keep, tgt, _, _ = calc_curve(
