@@ -169,7 +169,12 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
         flat = tonal.flatness_per_bfu(specs * specs)
         specs, tp = tonal.extract(specs, flat)
         tonal_planes = tonal.scale_groups(tp)
-        tonal_counts = tonal_planes["active"].astype(jnp.int32)
+        # per-BFU block counts for the allocation discount (the count is
+        # keyed on each block's first-component BFU)
+        bfu_oh = jax.nn.one_hot(tonal_planes["bfu"], 32, dtype=jnp.int32)
+        tonal_counts = jnp.sum(
+            bfu_oh * tonal_planes["active"][..., None].astype(jnp.int32),
+            axis=-2)
         tonal_bits_fn = tonal.make_cost_fn(tonal_planes)
 
     blocks = gather_bfu_blocks(specs)                # [C, F, 32, 128]
@@ -234,9 +239,7 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
         "ms_shift": ms_shift,
     }
     if tonal_planes is not None:
-        active = tonal_planes["active"] & (
-            jnp.arange(T.MAX_BFUS) < num_bfu[..., None])
-        quant = jnp.clip(jnp.where(active, wl + 4, 0), 2, 7)
+        active, quant = tonal.block_quant(tonal_planes, wl, num_bfu)
         out["tonal_active"] = active
         out["tonal_start"] = tonal_planes["start"].astype(jnp.int16)
         out["tonal_len"] = tonal_planes["len"].astype(jnp.int8)

@@ -115,16 +115,79 @@ def extract(specs, flatness):
 
     planes = {"active": active, "start": start_abs * active,
               "len": ln, "values": vals}
-    return specs_out, planes
+    return specs_out, regroup(planes)
+
+
+BLOCK_LEN = 7       # MapTonalComponents groups <=7 consecutive coefficients
+
+
+def regroup(run_planes):
+    """Per-BFU runs -> coded tonal blocks (MapTonalComponents,
+    atrac3denc.cpp:646-662): the concatenated components regroup into runs
+    of CONSECUTIVE spectral positions, split every 7 — merging across BFU
+    boundaries; each block's BFU identity is its first component's BFU.
+
+    Returns block planes: active [..., 32] bool, start/len/bfu [..., 32],
+    values [..., 32, 7].
+    """
+    act = run_planes["active"]
+    start = run_planes["start"]
+    ln = run_planes["len"]
+    vals = run_planes["values"]
+
+    # flatten the (ascending) per-BFU runs to component streams [..., 160]
+    offs = jnp.arange(MAX_TONAL_LEN)
+    cvalid = act[..., None] & (offs < ln[..., None])
+    cpos = jnp.where(cvalid, start[..., None] + offs, 1 << 20)
+    cbfu = jnp.broadcast_to(_IOTA32[:, None], cpos.shape)
+    flat = lambda x: x.reshape(x.shape[:-2] + (-1,))
+    cpos, cval, cvalid_f, cbfu = (flat(cpos), flat(vals), flat(cvalid),
+                                  flat(cbfu))
+
+    # previous VALID component's position (the streams carry padding slots
+    # between runs; positions are ascending, so a running max skips them)
+    cp = jnp.where(cvalid_f, cpos, -(1 << 20))
+    prev_pos = jnp.concatenate(
+        [jnp.full(cp.shape[:-1] + (1,), -(1 << 20), cp.dtype),
+         jax.lax.cummax(cp, axis=cp.ndim - 1)[..., :-1]], axis=-1)
+    new_run = cvalid_f & (cpos != prev_pos + 1)
+    # packed component rank, ignoring padding slots
+    rank = jnp.cumsum(cvalid_f, axis=-1) - 1
+    run_start_rank = jax.lax.cummax(
+        jnp.where(new_run, rank, -1), axis=cp.ndim - 1)
+    off_in_run = rank - run_start_rank
+    # block boundary: new run, or every BLOCK_LEN components within a run
+    new_block = cvalid_f & (new_run | (off_in_run % BLOCK_LEN == 0))
+    block_id = jnp.cumsum(new_block, axis=-1) - 1      # [..., 160]
+    within = off_in_run % BLOCK_LEN
+
+    # scatter components into [..., 32, 7] via one-hot contraction
+    nb = 32
+    oh = (jax.nn.one_hot(jnp.where(cvalid_f, block_id, nb), nb + 1,
+                         dtype=cval.dtype)[..., :nb][..., :, None]
+          * jax.nn.one_hot(within, BLOCK_LEN, dtype=cval.dtype)[..., None, :])
+    # oh: [..., 160, 32, 7]
+    bvals = jnp.einsum("...c,...cbj->...bj", cval, oh)
+    bcount = jnp.einsum("...c,...cbj->...bj",
+                        cvalid_f.astype(cval.dtype), oh)
+    bpos = jnp.einsum("...c,...cbj->...bj", cpos.astype(cval.dtype), oh)
+    bbfu = jnp.einsum("...c,...cbj->...bj", cbfu.astype(cval.dtype), oh)
+
+    blen = jnp.sum(bcount, axis=-1).astype(jnp.int32)
+    bactive = blen > 0
+    bstart = jnp.where(bactive, bpos[..., 0].astype(jnp.int32), 0)
+    bfu_first = jnp.where(bactive, bbfu[..., 0].astype(jnp.int32), 0)
+    return {"active": bactive, "start": bstart, "len": blen,
+            "bfu": bfu_first, "values": bvals}
 
 
 def scale_groups(planes):
-    """Scale tonal groups like MapTonalComponents: per-group block float.
+    """Scale tonal blocks like MapTonalComponents: per-block block float.
 
     Returns planes extended with sfi [..., 32] and vlc_cost [..., 32, 8]
     (VLC spectrum bits at each quantizer 0..7; only 2..7 used)."""
     vals = planes["values"]
-    in_run = jnp.arange(MAX_TONAL_LEN) < planes["len"][..., None]
+    in_run = jnp.arange(BLOCK_LEN) < planes["len"][..., None]
     sfi, scaled, _ = scale_ops.scale_blocks(
         vals, jnp.ones_like(vals, bool), jnp.asarray(T.SCALE_TABLE))
     # padding is zero so it does not affect maxabs; mask scaled anyway
@@ -145,18 +208,28 @@ def scale_groups(planes):
     return planes
 
 
+def block_quant(planes, wl, num_bfu):
+    """(active, quant) per tonal block for an allocation: quantizer =
+    clamp(alloc[first-component BFU] + 4, 2, 7); blocks whose BFU fell off
+    the shrunk allocation table are dropped (atrac3_bitstream.cpp:417-424)."""
+    bfu = planes["bfu"]
+    active = planes["active"] & (bfu < num_bfu[..., None])
+    bfu_oh = jax.nn.one_hot(bfu, 32, dtype=jnp.float32)
+    wl_b = jnp.einsum("...k,...bk->...b", wl.astype(jnp.float32), bfu_oh
+                      ).astype(jnp.int32)
+    quant = jnp.clip(jnp.where(active, wl_b + 4, 0), 2, 7)
+    return active, jnp.where(active, quant, 0)
+
+
 def make_cost_fn(planes):
     """Build tonal_bits_fn(alloc_wl) -> [...] section bits for the rate
     control (EncodeTonalComponents dry-run, atrac3_bitstream.cpp:453-595)."""
-    active0 = planes["active"]
     ln = planes["len"]
     pos = planes["start"]
     vlc = planes["vlc_cost"]
 
     def cost(wl, num_bfu):
-        active = active0 & (_IOTA32 < num_bfu[..., None])
-        quant = jnp.clip(jnp.where(active, wl + 4, 0), 2, 7)
-        quant = jnp.where(active, quant, 0)
+        active, quant = block_quant(planes, wl, num_bfu)
         bucket = jnp.where(active, quant * 8 + ln, 0)     # 0 = inactive
 
         member_bits = jnp.where(

@@ -55,3 +55,16 @@ def test_tonal_selections_match_reference(golden, encoded):
             assert ref_tc == ours_tc, f"frame {f} ch {ch}"
             n_tonal += len(ref_tc)
     assert n_tonal > 0, "golden input produced no tonal components"
+
+
+def test_dense_tonal_cross_bfu_merging():
+    """Tonal runs merge across BFU boundaries into blocks of <=7
+    (MapTonalComponents); pinned with a dense multi-tone golden input."""
+    data = np.load(os.path.join(GOLDEN, "at3_tonal_dense_golden.npz"))
+    pcm, ref = data["pcm_in"], data["ref_frames"]
+    planes = encode_track(pcm, frame_bytes=384, no_tonal=False)
+    ours = at3_frame.pack(planes, 384)
+    ident = (ours == ref).mean()
+    assert ident > 0.97, f"byte identity {ident:.4f}"
+    # at least one coded block must exceed the 5-coefficient extraction cap
+    assert (planes["tonal_len"] > 5).any()
