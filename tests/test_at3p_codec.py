@@ -123,3 +123,21 @@ def test_gha_tonal_model_improves_quality(coded):
 
     p_gha, p_plain = psnr(dec_gha), psnr(dec_plain)
     assert p_gha > p_plain + 3.0, f"GHA {p_gha:.2f} vs plain {p_plain:.2f} dB"
+
+
+def test_byte_identity_vs_reference_writer():
+    """The whole AT3P path (PQF, delay, MDCT, scale, fixed wordlens, spectrum
+    table search, channel-unit serialization, numQU budget) against golden
+    frames from the reference's own bitstream writer, compiled without the
+    absent libgha (GHA-disabled flow)."""
+    data = np.load(os.path.join(GOLDEN, "at3p_golden.npz"))
+    for pcm_key, ref_key in (("pcm_mixed", "ref_mixed"),
+                             ("pcm_loud", "ref_loud")):
+        pcm, ref = data[pcm_key], data[ref_key]
+        planes = encode_track(pcm, use_gha=False)
+        ours = at3p_frame.pack(planes, 2)
+        n = min(len(ours), len(ref))
+        assert (ours[:n] == ref[:n]).all(), pcm_key
+    # the loud corpus must exercise the NumQuantUnits shrink
+    planes = encode_track(data["pcm_loud"], use_gha=False)
+    assert (planes["num_qu"] < 32).any()
