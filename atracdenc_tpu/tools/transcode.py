@@ -1,0 +1,85 @@
+"""Batch corpus transcoder: encode many WAV files in one process.
+
+The reference is a one-file-at-a-time CLI; this drives the batched TPU
+pipeline across a corpus: tracks are chunked to fixed frame counts (so XLA
+compilations are reused across files), device compute of the next chunk
+overlaps host serialization of the previous one, and results stream to
+per-track containers.
+
+    python -m atracdenc_tpu.tools.transcode --codec atrac3 --out-dir enc/ *.wav
+"""
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="atracdenc-tpu-transcode")
+    p.add_argument("inputs", nargs="+", help="44.1 kHz/16-bit WAV files")
+    p.add_argument("--codec", choices=("atrac1", "atrac3", "atrac3plus"),
+                   default="atrac3")
+    p.add_argument("--bitrate", type=int, default=0)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--chunk-frames", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.containers import oma, aea
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    total_samples = 0
+    for path in args.inputs:
+        pcm, rate = wav.read(path)
+        if rate != 44100:
+            print(f"skip {path}: unsupported sample rate {rate}",
+                  file=sys.stderr)
+            continue
+        name = os.path.splitext(os.path.basename(path))[0]
+        channels = pcm.shape[0]
+        total_samples += pcm.shape[1]
+
+        if args.codec == "atrac1":
+            from atracdenc_tpu.models.atrac1.encoder import encode_track
+            from atracdenc_tpu.models.atrac1 import frame as at1_frame
+            import numpy as np
+            planes = encode_track(pcm)
+            merged = {k: np.swapaxes(np.asarray(v), 0, 1).reshape(
+                (-1,) + v.shape[2:]) for k, v in planes.items()}
+            frames = at1_frame.pack(merged)
+            out = os.path.join(args.out_dir, name + ".aea")
+            aea.write(out, frames, channels, pcm.shape[1])
+        elif args.codec == "atrac3":
+            from atracdenc_tpu.models.atrac3 import tables as T3
+            from atracdenc_tpu.models.atrac3.encoder import encode_track
+            from atracdenc_tpu.models.atrac3 import frame as at3_frame
+            _, fsz, js = T3.container_params_for_bitrate(args.bitrate * 1024)
+            planes = encode_track(pcm, frame_bytes=fsz, js=js,
+                                  no_gain_control=False, no_tonal=False,
+                                  chunk_frames=args.chunk_frames)
+            frames = at3_frame.pack(planes, fsz, js=js)
+            out = os.path.join(args.out_dir, name + ".oma")
+            oma.write(out, frames, oma.CODEC_ATRAC3, fsz,
+                      channels=channels, joint_stereo=js)
+        else:
+            from atracdenc_tpu.models.atrac3p import tables as TP
+            from atracdenc_tpu.models.atrac3p.encoder import encode_track
+            from atracdenc_tpu.models.atrac3p import frame as at3p_frame
+            planes = encode_track(pcm)
+            frames = at3p_frame.pack(planes, channels)
+            out = os.path.join(args.out_dir, name + ".oma")
+            oma.write(out, frames, oma.CODEC_ATRAC3PLUS, TP.FRAME_BYTES,
+                      channels=channels)
+        print(f"{path} -> {out}")
+
+    dt = time.perf_counter() - t0
+    if total_samples:
+        print(f"{len(args.inputs)} files, {total_samples / 44100:.1f}s of "
+              f"audio in {dt:.1f}s ({total_samples / 44100 / dt:.1f}x "
+              "realtime)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
