@@ -259,6 +259,19 @@ def pack(planes, frame_bytes: int, js: bool = False) -> np.ndarray:
     (atrac3_bitstream.cpp:909-914); JS channel 1 is byte-reversed into the
     frame tail with the per-frame M/S byte-budget shift (:899-905).
     """
+    n_total = planes["num_bfu"].shape[1]
+    step = 1024
+    if n_total > step:
+        # bounded working-set slices: the field planes are ~170 KB/frame
+        parts = []
+        for a in range(0, n_total, step):
+            sl = {k: (v[:, a:a + step] if v.ndim > 1 and k != "ms_shift"
+                      else (v[a:a + step] if k in ("ms_shift", "loudness")
+                            else v))
+                  for k, v in planes.items()}
+            parts.append(pack(sl, frame_bytes, js=js))
+        return np.concatenate(parts, axis=0)
+
     c = planes["num_bfu"].shape[0]
     n = planes["num_bfu"].shape[1]
     half = frame_bytes // 2
