@@ -23,14 +23,32 @@ def encode_file(args):
         print(f"Input file: {args.infile}\n Channels: {channels}\n "
               f"SampleRate: {rate}\n Codec: ATRAC3Plus")
 
-    # --advanced ghadbg=0 disables the GHA tonal model (reference
-    # TAt3PEnc::ParseAdvancedOpt, at3p.cpp:195-284)
+    # --advanced ghadbg=MASK / ghawbrefine=MODE (reference
+    # TAt3PEnc::ParseAdvancedOpt + SetGha/SetWidebandRefine,
+    # at3p.cpp:195-284); mask bits: 1=GHA_PASS_INPUT, 2=GHA_WRITE_TONAL,
+    # 4=GHA_WRITE_RESIUDAL, 8=GHA_WIDEBAND
     use_gha = True
+    wb_refine = False
     for kv in (args.advanced or "").split(","):
         if kv.startswith("ghadbg="):
-            use_gha = int(kv.split("=")[1]) != 0
+            mask = int(kv.split("=")[1])
+            if mask > 15 or mask < 0:
+                sys.exit("invalud value of GHA processing mask")
+            for bit, name in ((1, "GHA_PASS_INPUT"), (2, "GHA_WRITE_TONAL"),
+                              (4, "GHA_WRITE_RESIUDAL"), (8, "GHA_WIDEBAND")):
+                if mask & bit:
+                    print(name, file=sys.stderr)
+            use_gha = mask
+        elif kv.startswith("ghawbrefine="):
+            mode = int(kv.split("=")[1])
+            if mode < 0 or mode > 1:
+                sys.exit("invalid ghawbrefine value "
+                         "(expected 0=subband or 1=raw)")
+            wb_refine = mode == 1
+            print("GHA_WIDEBAND_REFINE=" + ("raw" if mode else "subband"),
+                  file=sys.stderr)
 
-    planes = encode_track(pcm, use_gha=use_gha)
+    planes = encode_track(pcm, use_gha=use_gha, wb_refine=wb_refine)
     frames = at3p_frame.pack(planes, channels)
 
     container = args.container

@@ -24,7 +24,9 @@ def decode_track(frames: np.ndarray, channels: int) -> np.ndarray:
     tones = {"freq": np.zeros((channels, n, 8, 15), np.int32),
              "amp_sf": np.zeros((channels, n, 8, 15), np.int32),
              "phase": np.zeros((channels, n, 8, 15), np.int32),
-             "valid": np.zeros((channels, n, 8, 15), bool)}
+             "valid": np.zeros((channels, n, 8, 15), bool),
+             "env_start": np.full((channels, n, 8), -1, np.int32),
+             "env_stop": np.full((channels, n, 8), -1, np.int32)}
     any_tones = False
     for fi in range(n):
         p = at3p_frame.unpack_frame(frames[fi], channels)
@@ -45,10 +47,12 @@ def decode_track(frames: np.ndarray, channels: int) -> np.ndarray:
     bands = np.asarray(imdct_frames(jnp.asarray(specs)))  # [C, N, 16, 128]
     bands = bands / T.RESIDUAL_SCALE
     if any_tones:
-        synth = np.asarray(gha.synthesize_for_decode(
+        synth = np.asarray(gha.synthesize(
             {k: jnp.asarray(v) for k, v in tones.items()}))
-        # imdct_frames out[f] reconstructs coded frame f-1, so the tone
-        # signal shifts by the same one-frame OLA latency
+        # imdct_frames out[b] is content frame b-2 (coded-frame OLA latency
+        # + the encoder's residual delay); wire block f carries content
+        # frame f-1's waves, so content b-2 = fall*wire[b-1] + rise*wire[b]
+        # = synthesize(wire)[b-1]
         bands[:, 1:, :gha.NUM_TONE_SUBBANDS, :] += synth[:, :-1]
     stream = np.swapaxes(bands, 1, 2).reshape(channels, 16, -1)
     pcm = np.stack([pqf.ipqf_np(stream[ch]) for ch in range(channels)])

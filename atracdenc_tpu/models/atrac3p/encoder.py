@@ -118,22 +118,45 @@ def _const_bits(channels):
     return bits
 
 
-@partial(jax.jit, static_argnames=("use_gha",))
-def _encode_core(pcm, use_gha=True):
+@partial(jax.jit, static_argnames=("gha_mask", "wb_refine"))
+def _encode_core(pcm, gha_mask=7, wb_refine=None):
+    """gha_mask: None = GHA disabled (plain transform, equivalent to a GHA
+    pass that finds no tones); else the reference's --advanced ghadbg bitmask
+    (atrac3p.h:29-43): 1 = GHA_PASS_INPUT (code the residual input; clear ->
+    the transform path sees silence), 2 = GHA_WRITE_TONAL (tonal block on the
+    wire), 4 = GHA_WRITE_RESIUDAL (spectra on the wire), 8 = GHA_WIDEBAND
+    (strategy B; wb_refine: False = subband refine, True = raw, per
+    --advanced ghawbrefine).  Default GHA_ENABLED = 7."""
     c, t = pcm.shape
     f = t // T.NUM_SAMPLES
 
     bands = band_frames(pcm)                        # [C, F, 16, 128]
-    if use_gha:
-        tone_planes = gha.extract(bands)
-        resid = gha.subtract(bands, tone_planes)
-        # shift to output alignment (one-frame LOOK_AHEAD delay)
-        tone_out = {k: jnp.pad(v[:, :-1],
-                               ((0, 0), (1, 0)) + ((0, 0),) * (v.ndim - 2))
-                    for k, v in tone_planes.items()}
-    else:
+    if gha_mask is None:
         resid = bands
         tone_out = None
+    else:
+        if gha_mask & 8:
+            raw = pcm.reshape(c, f, T.NUM_SAMPLES)
+            tone_planes = gha.extract_wideband(
+                bands, raw, refine_raw=bool(wb_refine))
+        else:
+            tone_planes = gha.extract(bands)
+        src = bands if (gha_mask & 1) else jnp.zeros_like(bands)
+        resid = gha.subtract(src, tone_planes)
+        if not (gha_mask & 4):
+            resid = jnp.zeros_like(resid)
+        if gha_mask & 2:
+            # shift to output alignment (one-frame tonal-block delay,
+            # at3p.cpp:128-131,173-177); sharing/leader are per-frame (ax 0)
+            tone_out = {}
+            for k, v in tone_planes.items():
+                ax = 0 if k in ("sharing", "leader") else 1
+                pad = [(0, 0)] * v.ndim
+                pad[ax] = (1, 0)
+                tone_out[k] = jnp.pad(v[(slice(None),) * ax
+                                        + (slice(None, -1),)], pad)
+        else:
+            tone_out = None
     # one-frame delay: output frame f carries content frame f-1 (LOOK_AHEAD)
     res = jnp.pad(resid[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
     specs = mdct_frames(res * T.RESIDUAL_SCALE)     # [C, F, 2048]
@@ -160,16 +183,26 @@ def _encode_core(pcm, use_gha=True):
     return sfi, mant, spec_tab, spec_bits, tone_out
 
 
-def encode_track(pcm: np.ndarray, use_gha=True):
-    """[C, T] PCM -> ATRAC3+ frame planes (dict of numpy arrays)."""
+def encode_track(pcm: np.ndarray, use_gha=True, wb_refine=False):
+    """[C, T] PCM -> ATRAC3+ frame planes (dict of numpy arrays).
+
+    use_gha: True -> GHA_ENABLED (mask 7); False -> GHA disabled entirely
+    (plain transform); int -> the reference's ghadbg mask (0..15, bit 3 =
+    wideband strategy B).  wb_refine selects ghawbrefine=1 (raw)."""
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
     c, t = pcm.shape
     pad = (-t) % T.NUM_SAMPLES
     if pad:
         pcm = np.pad(pcm, ((0, 0), (0, pad)))
 
+    if use_gha is True:
+        gha_mask = 7
+    elif use_gha is False:
+        gha_mask = None
+    else:
+        gha_mask = int(use_gha)
     sfi, mant, spec_tab, spec_bits, tone_out = _encode_core(
-        jnp.asarray(pcm), use_gha=use_gha)
+        jnp.asarray(pcm), gha_mask=gha_mask, wb_refine=wb_refine)
     sfi, mant, spec_tab, spec_bits = (
         np.asarray(x) for x in (sfi, mant, spec_tab, spec_bits))
     tones = None
@@ -179,8 +212,9 @@ def encode_track(pcm: np.ndarray, use_gha=True):
         # wire order wants ascending frequencies per band
         order = np.argsort(
             np.where(tones["valid"], tones["freq"], 1 << 20), axis=-1)
-        tones = {k: np.take_along_axis(v, order, axis=-1) for k, v in
-                 tones.items()}
+        tones = {k: (np.take_along_axis(v, order, axis=-1)
+                     if v.ndim == 4 else v)
+                 for k, v in tones.items()}
         tonal_bits = _tonal_section_bits(tones, c)
     else:
         tonal_bits = np.zeros(sfi.shape[1], np.int64)

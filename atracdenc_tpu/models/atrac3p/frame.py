@@ -240,31 +240,50 @@ def unpack_frame(data: np.ndarray, channels: int):
             "spec_tab": spec_tab, "tones": tones, "bits_used": br.pos}
 
 
+def _read_subband_flags(br, n):
+    """Inverse of WriteSubbandFlags."""
+    if br.read(1) == 0:
+        return [False] * n
+    if br.read(1) == 0:
+        return [True] * n
+    return [bool(br.read(1)) for _ in range(n)]
+
+
 def _parse_tonal_block(br, channels):
-    """Inverse of tonal_block_fields (QA parser)."""
+    """Inverse of tonal_block_fields (QA parser).  Returns wire-effective
+    physical-channel planes: shared subbands duplicated to the follower,
+    SecondIsLeader unswapped (mirrors ApplyFilter, at3p_gha.cpp:655-666)."""
     assert br.read(1) == 1                       # amplitude mode 1
     nb = _read_vlc(br, T.TONE_BANDS_CODE, T.TONE_BANDS_LEN) + 1
+    sharing = [False] * 8
+    second_is_leader = False
     if channels == 2:
-        assert br.read(1) == 0                   # no tone sharing
-        assert br.read(1) == 0                   # second-is-leader flags
-        assert br.read(1) == 0
+        sharing[:nb] = _read_subband_flags(br, nb)
+        second_is_leader = _read_subband_flags(br, 1)[0]
+        assert br.read(1) == 0                   # no phase inversion
     out = {"freq": np.zeros((channels, 8, 15), np.int32),
            "amp_sf": np.zeros((channels, 8, 15), np.int32),
            "phase": np.zeros((channels, 8, 15), np.int32),
-           "valid": np.zeros((channels, 8, 15), bool)}
-    for ch in range(channels):
-        if ch:
-            assert br.read(1) == 0
-        for sb in range(nb):
+           "valid": np.zeros((channels, 8, 15), bool),
+           "env_start": np.full((channels, 8), -1, np.int32),
+           "env_stop": np.full((channels, 8), -1, np.int32),
+           "sharing": np.array(sharing, bool),
+           "leader": np.int32(1 if second_is_leader else 0)}
+    for wch in range(channels):
+        coded = [sb for sb in range(nb)
+                 if not (wch == 1 and sharing[sb])]
+        if wch:
+            assert br.read(1) == 0               # own envelope data
+        for sb in coded:
             if br.read(1):
-                br.read(5)
+                out["env_start"][wch, sb] = br.read(5)
             if br.read(1):
-                br.read(5)
-        assert br.read(ch + 1) == 0              # num-waves mode
-        nw = [br.read(4) for _ in range(nb)]
-        if ch:
-            assert br.read(1) == 0
-        for sb in range(nb):
+                out["env_stop"][wch, sb] = br.read(5)
+        assert br.read(wch + 1) == 0             # num-waves mode
+        nw = {sb: br.read(4) for sb in coded}
+        if wch:
+            assert br.read(1) == 0               # freqs independent
+        for sb in coded:
             if nw[sb] == 0:
                 continue
             order = br.read(1) if nw[sb] > 1 else 0
@@ -284,15 +303,28 @@ def _parse_tonal_block(br, channels):
                     freqs.append(br.read(b))
                 freqs = freqs[::-1]
             for w, fq in enumerate(freqs):
-                out["freq"][ch, sb, w] = fq
-                out["valid"][ch, sb, w] = True
-        assert br.read(ch + 1) == 0              # amplitude mode
-        for sb in range(nb):
+                out["freq"][wch, sb, w] = fq
+                out["valid"][wch, sb, w] = True
+        assert br.read(wch + 1) == 0             # amplitude mode
+        for sb in coded:
             for w in range(nw[sb]):
-                out["amp_sf"][ch, sb, w] = br.read(6)
-        for sb in range(nb):
+                out["amp_sf"][wch, sb, w] = br.read(6)
+        for sb in coded:
             for w in range(nw[sb]):
-                out["phase"][ch, sb, w] = br.read(5)
+                out["phase"][wch, sb, w] = br.read(5)
+    if channels == 2:
+        for k in ("freq", "amp_sf", "phase", "valid"):
+            for sb in range(nb):
+                if sharing[sb]:
+                    out[k][1, sb] = out[k][0, sb]
+        for k in ("env_start", "env_stop"):
+            for sb in range(nb):
+                if sharing[sb]:
+                    out[k][1, sb] = out[k][0, sb]
+        if second_is_leader:
+            for k in ("freq", "amp_sf", "phase", "valid",
+                      "env_start", "env_stop"):
+                out[k] = out[k][::-1].copy()
     return out
 
 
@@ -336,29 +368,61 @@ def create_freq_bit_pack(freqs):
     return desc, 1
 
 
+def _subband_flags_fields(flags):
+    """WriteSubbandFlags (at3p_bitstream.cpp:487-508)."""
+    s = sum(1 for x in flags if x)
+    if s == 0:
+        return [(0, 1)]
+    if s == len(flags):
+        return [(1, 1), (0, 1)]
+    return [(1, 1), (1, 1)] + [(int(bool(x)), 1) for x in flags]
+
+
 def tonal_block_fields(tones, fi, channels, nb):
     """One frame's tonal-block fields [(value, width), ...]; `tones` planes
-    are frequency-sorted, `nb` = NumToneBands >= 1."""
+    are frequency-sorted and wire-effective (shared subbands already carry
+    the leader's data in both channels), `nb` = NumToneBands >= 1.
+    (WriteTonalBlock, at3p_bitstream.cpp:509-629.)"""
     fields = [(1, 1)]                                 # GHA amplitude mode 1
     fields.append((int(T.TONE_BANDS_CODE[nb - 1]),
                    int(T.TONE_BANDS_LEN[nb - 1])))
+    leader = int(tones.get("leader", np.zeros(1, np.int32))[fi]) \
+        if channels == 2 else 0
+    sharing = [bool(tones["sharing"][fi, sb]) for sb in range(nb)] \
+        if (channels == 2 and "sharing" in tones) else [False] * nb
     if channels == 2:
-        fields.append((0, 1))                         # ToneSharing: none
-        fields.append((0, 1))                         # SecondIsLeader: false
-        fields.append((0, 1))
-    for ch in range(channels):
-        if ch:
+        fields += _subband_flags_fields(sharing)
+        fields += _subband_flags_fields([leader == 1])
+        fields.append((0, 1))                         # no phase inversion
+    env_start = tones.get("env_start")
+    env_stop = tones.get("env_stop")
+    for wch in range(channels):
+        ch = leader if wch == 0 else 1 - leader       # wire ch0 = leader
+        skip = (lambda sb: wch == 1 and sharing[sb])
+        if wch:
             fields.append((0, 1))                     # own envelope data
         for sb in range(nb):
-            fields += [(0, 1), (0, 1)]                # no start/stop point
-        fields.append((0, ch + 1))                    # num-waves mode
+            if skip(sb):
+                continue
+            es = int(env_start[ch, fi, sb]) if env_start is not None else -1
+            et = int(env_stop[ch, fi, sb]) if env_stop is not None else -1
+            if es >= 0:
+                fields += [(1, 1), (es, 5)]
+            else:
+                fields.append((0, 1))
+            if et >= 0:
+                fields += [(1, 1), (et, 5)]
+            else:
+                fields.append((0, 1))
+        fields.append((0, wch + 1))                   # num-waves mode
         nw = [int(tones["valid"][ch, fi, sb].sum()) for sb in range(nb)]
         for sb in range(nb):
-            fields.append((nw[sb], 4))
-        if ch:
+            if not skip(sb):
+                fields.append((nw[sb], 4))
+        if wch:
             fields.append((0, 1))                     # freqs independent
         for sb in range(nb):
-            if nw[sb] == 0:
+            if skip(sb) or nw[sb] == 0:
                 continue
             freqs = [int(x) for x in
                      tones["freq"][ch, fi, sb][tones["valid"][ch, fi, sb]]]
@@ -366,12 +430,16 @@ def tonal_block_fields(tones, fi, channels, nb):
             if nw[sb] > 1:
                 fields.append((order, 1))
             fields += pack
-        fields.append((0, ch + 1))                    # amplitude mode
+        fields.append((0, wch + 1))                   # amplitude mode
         for sb in range(nb):
+            if skip(sb):
+                continue
             sfs = tones["amp_sf"][ch, fi, sb][tones["valid"][ch, fi, sb]]
             for v in sfs:
                 fields.append((int(v), 6))
         for sb in range(nb):
+            if skip(sb):
+                continue
             phs = tones["phase"][ch, fi, sb][tones["valid"][ch, fi, sb]]
             for v in phs:
                 fields.append((int(v), 5))
