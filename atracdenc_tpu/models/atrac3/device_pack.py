@@ -1,0 +1,427 @@
+"""ATRAC3 sound-unit serialization ON DEVICE.
+
+The host packer (frame.py + utils/bitpack.py) emits [K]-field planes and
+packs bits on the CPU; for the batch pipeline that costs a full mantissa
+plane device->host transfer plus single-core packing.  This module computes
+the same field planes with jnp, derives every field's absolute bit offset in
+closed form (prefix sums over the fixed entity grid — no sequential walk),
+and deposits the final frame bytes with ops/bitdeposit.deposit_fields.
+
+Byte-identical to frame.pack (tests/test_at3_device_pack.py); bit layout per
+the reference writer (src/atrac/at3/atrac3_bitstream.cpp: WriteSoundUnit
+:830-918, EncodeSpecs :597-636, tonal groups :409-595).
+
+The tonal section is the only part whose field ORDER is data-dependent (the
+subgroup/window interleave); since deposit_fields takes explicit offsets,
+slot order never has to match stream order — each entity's offset is its
+prefix sum over (subgroup, window) bit totals, and the 64-line-window
+subgroup-split walk (GroupTonalComponents, atrac3_bitstream.cpp:427-449) is
+one 32-step lax.scan.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atracdenc_tpu.ops.bitdeposit import deposit_fields
+from . import tables as T
+
+_MAXLEN = T.MAX_SPECS_PER_BLOCK
+_SLACK = 256                 # TBitStream may overrun; the tail is truncated
+
+_SPECS = jnp.asarray(T.SPECS_PER_BLOCK)
+_CLC_LEN = jnp.asarray(T.CLC_LENGTH_TAB)
+_VLC_CODE = jnp.asarray(T.VLC_CODE)
+_VLC_BITS = jnp.asarray(T.VLC_BITS)
+_CLC_RTAB = jnp.asarray(T.CLC_RTAB)
+_VLC_PAIR_RTAB = jnp.asarray(T.VLC_PAIR_RTAB)
+
+
+def _mask_sign(v, w):
+    return (v.astype(jnp.int32) & ((1 << w.astype(jnp.int32)) - 1)) \
+        .astype(jnp.uint32)
+
+
+def _vlc_idx(m):
+    return jnp.where(m < 0, -m * 2, jnp.where(m > 0, m * 2 - 1, 0))
+
+
+def _vlc_steps(sel):
+    """(bit-length, code) of spectrum codebook `sel` as step-function
+    breakpoints over the symbol index — TPU gathers from small tables are
+    pathologically slow (see bitalloc._vlc_bits_arith).  Relies on the
+    codebooks being canonical: codes are consecutive within an equal-length
+    run, so code = idx + piecewise-constant offset (verified at import)."""
+    lens = T.VLC_BITS[sel]
+    codes = T.VLC_CODE[sel]
+    n = int(np.max(np.nonzero(lens)[0])) + 1 if lens.any() else 0
+    len_steps, code_steps = [(0, int(lens[0]))], [(0, int(codes[0]) - 0)]
+    for j in range(1, n):
+        if int(lens[j]) != int(lens[j - 1]):
+            len_steps.append((j, int(lens[j]) - int(lens[j - 1])))
+        off = int(codes[j]) - j
+        prev_off = int(codes[j - 1]) - (j - 1)
+        if off != prev_off:
+            code_steps.append((j, off - prev_off))
+        assert int(codes[j]) == int(codes[j - 1]) + 1 or \
+            int(lens[j]) != int(lens[j - 1]), "non-canonical codebook"
+    return len_steps, code_steps
+
+
+_VLC_STEPS = [_vlc_steps(s) for s in range(7)]
+
+
+def _vlc_arith(idx, sel):
+    """(bits, code) for symbol index planes via step arithmetic."""
+    len_steps, code_steps = _VLC_STEPS[sel]
+    bits = jnp.full(idx.shape, len_steps[0][1], jnp.int32)
+    for j, d in len_steps[1:]:
+        bits = bits + d * (idx >= j)
+    code = idx + code_steps[0][1]
+    for j, d in code_steps[1:]:
+        code = code + d * (idx >= j)
+    return bits, code.astype(jnp.uint32)
+
+
+def _tonal_fields(planes):
+    """Tonal-section fields with explicit in-section bit offsets.
+
+    Returns (values [N,S], widths [N,S], rel_offsets [N,S], total_bits [N]).
+    """
+    act = planes["tonal_active"].astype(bool)            # [N, 32]
+    pos = planes["tonal_start"].astype(jnp.int32)
+    ln = planes["tonal_len"].astype(jnp.int32)
+    sfi = planes["tonal_sfi"].astype(jnp.int32)
+    quant = planes["tonal_quant"].astype(jnp.int32)
+    mant = planes["tonal_mant"].astype(jnp.int32)        # [N, 32, 7]
+    n = act.shape[0]
+    m32 = jnp.arange(32)
+
+    bucket = quant * 8 + ln
+    key = jnp.where(act, bucket * 64 + m32, 1 << 20)
+    rank = jnp.sum((key[:, None, :] < key[:, :, None]), axis=-1)  # [N, 32]
+    perm = (rank[:, None, :] == m32[None, :, None]).astype(jnp.int32)  # [N,i,m]
+    srt = lambda x: jnp.einsum("nim,nm->ni", perm, x)
+    s_act = srt(act.astype(jnp.int32)).astype(bool)
+    s_bucket = srt(bucket)
+    s_pos = srt(pos)
+    s_sfi = srt(sfi)
+    s_quant = srt(quant)
+    s_ln = srt(ln)
+    s_mant = jnp.einsum("nim,nmt->nit", perm, mant)
+
+    # subgroup-split walk (GroupTonalComponents :427-449) over sorted slots.
+    # The member whose in-window run would reach 7 is EXCLUDED from the
+    # current subgroup (the C slice ptr[start:cur] stops before it) and
+    # starts the next one.
+    def step(carry, xs):
+        bprev, anchor, limiter, sgid = carry
+        a, b, p = xs
+        new_bucket = a & (b != bprev)
+        within = (p - (anchor & ~63)) < 64
+        lim_try = jnp.where(within, limiter + 1, 0)
+        overflow = a & ~new_bucket & within & (lim_try >= 7)
+        new_sg = new_bucket | overflow
+        sgid = jnp.where(new_sg, sgid + 1, sgid)
+        anchor = jnp.where(new_sg | (a & ~within), p, anchor)
+        limiter = jnp.where(new_sg, 0, jnp.where(a, lim_try, limiter))
+        out = jnp.where(a, sgid, -1)
+        bprev = jnp.where(a, b, bprev)
+        return (bprev, anchor, limiter, sgid), out
+
+    z = jnp.zeros((n,), jnp.int32)
+    init = (z - 1, z, z, z - 1)
+    xs = (jnp.swapaxes(s_act, 0, 1), jnp.swapaxes(s_bucket, 0, 1),
+          jnp.swapaxes(s_pos, 0, 1))
+    _, sg_t = jax.lax.scan(step, init, xs)
+    sg = jnp.swapaxes(sg_t, 0, 1)                        # [N, 32], -1 inactive
+    num_sg = jnp.max(sg, axis=-1) + 1                    # [N]
+
+    s32 = jnp.arange(32)
+    in_sg = sg[:, None, :] == s32[None, :, None]         # [N, s, i]
+    sg_quant = jnp.max(jnp.where(in_sg, s_quant[:, None, :], 0), -1)
+    sg_len = jnp.max(jnp.where(in_sg, s_ln[:, None, :], 0), -1)
+    sg_used = s32[None, :] < num_sg[:, None]
+
+    win = s_pos >> 6                                     # [N, i]
+    j16 = jnp.arange(16)
+    in_win = win[:, None, :] == j16[None, :, None]       # [N, j, i]
+    cnt = jnp.einsum("nsi,nji->nsj", in_sg.astype(jnp.int32),
+                     in_win.astype(jnp.int32))           # [N, s, j]
+    band_any = (cnt.reshape(n, 32, 4, 4).sum(-1) > 0)    # [N, s, b]
+    cw = jnp.where(band_any[:, :, j16 >> 2] & sg_used[:, :, None], 3, 0)
+
+    # member VLC codes/bits (coding mode fixed to VLC, :484-487)
+    t7 = jnp.arange(7)
+    midx = _vlc_idx(s_mant)                              # [N, i, 7]
+    qsel = jnp.clip(s_quant - 1, 0, 6)[..., None]
+    mcode = _VLC_CODE[qsel, midx]
+    mbits = jnp.where(s_act[..., None] & (t7 < s_ln[..., None]),
+                      _VLC_BITS[qsel, midx], 0)
+    member_bits = jnp.where(s_act, 12 + mbits.sum(-1), 0)  # [N, i]
+
+    mwin = jnp.einsum("nsi,nji,ni->nsj", in_sg.astype(jnp.int32),
+                      in_win.astype(jnp.int32), member_bits)  # M(s,j) bits
+    sg_bits = jnp.where(sg_used, 10 + (cw + mwin).sum(-1), 0)
+    head_bits = 5 + jnp.where(num_sg > 0, 2, 0)
+    sg_start = head_bits[:, None] + jnp.cumsum(sg_bits, -1) - sg_bits
+    total = head_bits + sg_bits.sum(-1)
+
+    wm = cw + mwin
+    wstart = sg_start[:, :, None] + 10 + jnp.cumsum(wm, -1) - wm
+    mem_region = wstart + cw                             # [N, s, j]
+
+    # member offsets: segment prefix over sorted order (same sg & win)
+    segkey = jnp.where(s_act, sg * 16 + win, -1)
+    same_before = (segkey[:, None, :] == segkey[:, :, None]) \
+        & (m32[None, :] < m32[:, None])[None]            # [N, i, j]
+    mem_prefix = jnp.einsum("nij,nj->ni",
+                            same_before.astype(jnp.int32), member_bits)
+    flat_region = mem_region.reshape(n, 32 * 16)
+    idx = jnp.clip(sg, 0, 31) * 16 + jnp.clip(win, 0, 15)
+    moff = jnp.take_along_axis(flat_region, idx, axis=1) + mem_prefix
+    moff = jnp.where(s_act, moff, 0)
+
+    # --- assemble slots -----------------------------------------------------
+    vals, wids, offs = [], [], []
+
+    def emit(v, w, o):
+        vals.append(v.astype(jnp.uint32).reshape(n, -1))
+        wids.append(w.astype(jnp.int32).reshape(n, -1))
+        offs.append(o.astype(jnp.int32).reshape(n, -1))
+
+    emit(num_sg, jnp.full((n,), 5), jnp.zeros((n,)))     # count
+    emit(z, jnp.where(num_sg > 0, 2, 0), jnp.full((n,), 5))  # mode = VLC
+
+    flag_w = jnp.where(sg_used[:, :, None], 1, 0) * jnp.ones((1, 1, 4),
+                                                             jnp.int32)
+    emit(band_any.astype(jnp.uint32),
+         flag_w, sg_start[:, :, None] + jnp.arange(4))
+    emit(sg_len - 1, jnp.where(sg_used, 3, 0), sg_start + 4)   # cv - 1
+    emit(sg_quant, jnp.where(sg_used, 3, 0), sg_start + 7)
+    emit(cnt, cw, wstart)                                # window counts
+
+    emit(s_sfi, jnp.where(s_act, 6, 0), moff)
+    emit(s_pos - (win << 6), jnp.where(s_act, 6, 0), moff + 6)
+    mant_off = moff[:, :, None] + 12 + jnp.cumsum(mbits, -1) - mbits
+    emit(mcode, mbits, mant_off)
+
+    return (jnp.concatenate(vals, 1), jnp.concatenate(wids, 1),
+            jnp.concatenate(offs, 1), total)
+
+
+def channel_fields(planes, js1=False):
+    """One channel's field planes [N, K] (values, widths, absolute offsets).
+
+    planes: frame-major single-channel dict (same contract as
+    frame.pack_channel).
+    """
+    num_bfu = planes["num_bfu"].astype(jnp.int32)
+    mode = planes["coding_mode"].astype(jnp.int32)
+    wl = planes["wordlen"].astype(jnp.int32)
+    sfi = planes["sfi"].astype(jnp.int32)
+    mant = planes["mant"].astype(jnp.int32)
+    gnp = planes["gain_npoints"].astype(jnp.int32)
+    glev = planes["gain_levels"].astype(jnp.int32)
+    gloc = planes["gain_locs"].astype(jnp.int32)
+    n = num_bfu.shape[0]
+    num_qmf = planes.get("num_qmf")
+    if num_qmf is None:
+        num_qmf = jnp.full((n,), 4, jnp.int32)
+    else:
+        num_qmf = num_qmf.astype(jnp.int32)
+
+    vals, wids = [], []
+
+    def emit(v, w):
+        vals.append(jnp.asarray(v).astype(jnp.uint32).reshape(n, -1))
+        wids.append(jnp.asarray(w).astype(jnp.int32).reshape(n, -1))
+
+    # channel id / JS params (atrac3_bitstream.cpp:848-853, 791-798)
+    if js1:
+        emit(jnp.full((n,), (0 << 13) | (7 << 10) | 0b11_11_11_11_11),
+             jnp.full((n,), 14))
+    else:
+        emit(jnp.full((n,), 0x28), jnp.full((n,), 6))
+    emit(num_qmf - 1, jnp.full((n,), 2))
+
+    b4 = jnp.arange(4)
+    in_band = b4[None, :] < num_qmf[:, None]             # [N, 4]
+    emit_gain_v = []
+    emit_gain_w = []
+    p8 = jnp.arange(8)
+    active = p8[None, None, :] < gnp[:, :, None]         # [N, 4, 8]
+    for band in range(4):
+        emit_gain_v.append(jnp.where(in_band[:, band], gnp[:, band], 0)
+                           [:, None])
+        emit_gain_w.append(jnp.where(in_band[:, band], 3, 0)[:, None])
+        lv = jnp.where(active[:, band], glev[:, band], 0)
+        lc = jnp.where(active[:, band], gloc[:, band], 0)
+        lw = jnp.where(active[:, band], 4, 0)
+        cw_ = jnp.where(active[:, band], 5, 0)
+        inter = jnp.stack([lv, lc], -1).reshape(n, 16)
+        interw = jnp.stack([lw, cw_], -1).reshape(n, 16)
+        emit_gain_v.append(inter)
+        emit_gain_w.append(interw)
+    emit(jnp.concatenate(emit_gain_v, 1), jnp.concatenate(emit_gain_w, 1))
+
+    pre_v = jnp.concatenate(vals, 1)
+    pre_w = jnp.concatenate(wids, 1)
+    pre_off = jnp.cumsum(pre_w, -1) - pre_w
+    pre_end = pre_off[:, -1] + pre_w[:, -1]
+
+    if "tonal_active" in planes:
+        tv, tw, trel, tbits = _tonal_fields(planes)
+    else:
+        tv = jnp.zeros((n, 1), jnp.uint32)
+        tw = jnp.full((n, 1), 5, jnp.int32)
+        trel = jnp.zeros((n, 1), jnp.int32)
+        tbits = jnp.full((n,), 5, jnp.int32)
+    t_off = pre_end[:, None] + trel
+    post_base = pre_end + tbits
+
+    vals, wids = [], []
+    emit(num_bfu - 1, jnp.full((n,), 5))
+    emit(mode, jnp.full((n,), 1))
+
+    in_use = jnp.arange(32)[None, :] < num_bfu[:, None]
+    used = in_use & (wl > 0)
+    emit(wl, jnp.where(in_use, 3, 0))
+    emit(jnp.where(used, sfi, 0), jnp.where(used, 6, 0))
+
+    # spectrum planes (mirrors frame.pack_channel:198-231); all table
+    # lookups are static per-wordlen step arithmetic, selected by (wl == w)
+    # masks — no gathers (TPU small-table gathers are pathologically slow)
+    line_valid = (jnp.arange(_MAXLEN)[None, :] < _SPECS[:, None])[None]
+    clc_mode = used & (mode == 1)[:, None]
+    vlc_mode = used & (mode == 0)[:, None]
+
+    vidx = _vlc_idx(mant)
+    clc_w = jnp.zeros(mant.shape, jnp.int32)
+    clc_v = jnp.zeros(mant.shape, jnp.uint32)
+    vbits = jnp.zeros(mant.shape, jnp.int32)
+    vcode = jnp.zeros(mant.shape, jnp.uint32)
+    for w in range(2, 8):
+        is_w = (wl == w)[:, :, None]
+        nb = int(T.CLC_LENGTH_TAB[w])
+        clc_w = jnp.where(is_w, nb, clc_w)
+        clc_v = jnp.where(is_w, _mask_sign(mant, jnp.int32(nb)), clc_v)
+        b_w, c_w = _vlc_arith(vidx, min(w - 1, 6))
+        vbits = jnp.where(is_w, b_w, vbits)
+        vcode = jnp.where(is_w, c_w, vcode)
+
+    single = (wl > 1)[:, :, None] & line_valid
+    clc_w = jnp.where(single & clc_mode[:, :, None], clc_w, 0)
+    vlc_w = jnp.where(single & vlc_mode[:, :, None], vbits, 0)
+
+    pair_valid = (jnp.arange(64)[None, :] < (_SPECS // 2)[:, None])[None]
+    a = mant[:, :, 0::2]
+    b = mant[:, :, 1::2]
+    # CLC_RTAB[m+2] for m in [-2,1] == (m+2) ^ 2 (atrac3.h:199-204)
+    clcp_v = (((jnp.clip(a, -2, 1) + 2) ^ 2).astype(jnp.uint32) << 2) | \
+        ((jnp.clip(b, -2, 1) + 2) ^ 2).astype(jnp.uint32)
+    key = 3 * (jnp.clip(a, -1, 1) + 1) + (jnp.clip(b, -1, 1) + 1)
+    vlcp_v = jnp.zeros(a.shape, jnp.uint32)
+    vlcp_w = jnp.zeros(a.shape, jnp.int32)
+    for k in range(9):
+        pi = int(T.VLC_PAIR_RTAB[k])
+        vlcp_v = jnp.where(key == k, int(T.VLC_CODE[0, pi]), vlcp_v)
+        vlcp_w = jnp.where(key == k, int(T.VLC_BITS[0, pi]), vlcp_w)
+
+    wl_gt1 = (wl > 1)[:, :, None]
+    spec_v = jnp.where(wl_gt1, jnp.where(clc_mode[:, :, None], clc_v,
+                                         vcode), 0)
+    spec_w = jnp.where(wl_gt1, clc_w + vlc_w, 0)
+    pair_clc = clc_mode[:, :, None] & (wl == 1)[:, :, None] & pair_valid
+    pair_vlc = vlc_mode[:, :, None] & (wl == 1)[:, :, None] & pair_valid
+    sv64 = jnp.where(pair_clc, clcp_v,
+                     jnp.where(pair_vlc, vlcp_v, spec_v[:, :, :64]))
+    sw64 = jnp.where(pair_clc, 4, jnp.where(pair_vlc, vlcp_w,
+                                            spec_w[:, :, :64]))
+    spec_v = spec_v.at[:, :, :64].set(sv64)
+    spec_w = spec_w.at[:, :, :64].set(sw64)
+    emit(spec_v.reshape(n, -1), spec_w.reshape(n, -1))
+
+    post_v = jnp.concatenate(vals, 1)
+    post_w = jnp.concatenate(wids, 1)
+    post_off = post_base[:, None] + jnp.cumsum(post_w, -1) - post_w
+
+    values = jnp.concatenate([pre_v, tv, post_v], 1)
+    widths = jnp.concatenate([pre_w, tw, post_w], 1)
+    offsets = jnp.concatenate([pre_off, t_off, post_off], 1)
+    return values, widths, offsets
+
+
+def _empty_js_channel1(n):
+    return {
+        "num_bfu": jnp.ones((n,), jnp.int32),
+        "coding_mode": jnp.ones((n,), jnp.int32),
+        "wordlen": jnp.zeros((n, 32), jnp.int32),
+        "sfi": jnp.zeros((n, 32), jnp.int32),
+        "mant": jnp.zeros((n, 32, _MAXLEN), jnp.int32),
+        "gain_npoints": jnp.zeros((n, 4), jnp.int32),
+        "gain_levels": jnp.zeros((n, 4, 8), jnp.int32),
+        "gain_locs": jnp.zeros((n, 4, 8), jnp.int32),
+        "num_qmf": jnp.ones((n,), jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=("frame_bytes", "js"))
+def pack_device_batch(planes, frame_bytes, js=False):
+    """Batched pack: leaves shaped [S, C, F, ...] ([S, F] for ms_shift /
+    loudness) -> [S, F, frame_bytes].  Packing is frame-local, so the
+    stream axis folds into the frame axis — one fused program instead of a
+    per-stream vmap (which is dispatch-bound for the small tonal/scan ops).
+    """
+    s, c, f = planes["num_bfu"].shape[:3]
+    merged = {}
+    for k, v in planes.items():
+        if k in ("ms_shift", "loudness"):
+            merged[k] = v.reshape((s * f,) + v.shape[2:])
+        else:
+            vv = jnp.swapaxes(v, 0, 1)          # [C, S, F, ...]
+            merged[k] = vv.reshape((c, s * f) + v.shape[3:])
+    out = pack_device(merged, frame_bytes, js)
+    return out.reshape(s, f, frame_bytes)
+
+
+@partial(jax.jit, static_argnames=("frame_bytes", "js"))
+def pack_device(planes, frame_bytes, js=False):
+    """Device counterpart of frame.pack: [C, F, ...] planes -> [F, B] bytes.
+    Byte-identical to the host path (mono duplication, JS byte-reversal and
+    M/S byte-budget boundary per atrac3_bitstream.cpp:899-914)."""
+    c = planes["num_bfu"].shape[0]
+    n = planes["num_bfu"].shape[1]
+    half = frame_bytes // 2
+    shift = planes.get("ms_shift")
+    if shift is None:
+        shift = jnp.zeros((n,), jnp.int32)
+    shift = shift.astype(jnp.int32)
+
+    chans = [{k: v[ch] for k, v in planes.items()
+              if k not in ("loudness", "ms_shift")} for ch in range(c)]
+    js1_flags = [False] * len(chans)
+    if js and c == 1:
+        chans.append(_empty_js_channel1(n))
+        js1_flags.append(True)
+    elif js:
+        js1_flags[1] = True
+
+    bufs = []
+    for p, js1 in zip(chans, js1_flags):
+        v, w, o = channel_fields(p, js1=js1)
+        bufs.append(deposit_fields(v, w, o, frame_bytes + _SLACK)
+                    [:, :frame_bytes])
+
+    if not js:
+        if c == 1:
+            return jnp.concatenate([bufs[0][:, :half]] * 2, axis=1)
+        return jnp.concatenate([bufs[0][:, :half], bufs[1][:, :half]],
+                               axis=1)
+
+    j = jnp.arange(frame_bytes)[None, :]
+    boundary = (half + shift)[:, None]
+    rows = jnp.arange(n)[:, None]
+    return jnp.where(j < boundary, bufs[0][rows, j],
+                     bufs[1][rows, frame_bytes - 1 - j]).astype(jnp.uint8)

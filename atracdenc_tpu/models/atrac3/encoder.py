@@ -79,6 +79,22 @@ def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
 
 @partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
                                    "no_tonal", "bfu_idx_const"))
+def encode_frames_bytes(pcm, frame_bytes=384, js=False, no_gain_control=True,
+                        no_tonal=True, bfu_idx_const=0):
+    """[C, T] PCM -> [F, frame_bytes] uint8 frames, fully ON DEVICE.
+
+    Fuses the encoder with the device bitstream serializer
+    (device_pack.pack_device) so only final frame bytes leave the chip —
+    the batch-transcode fast path (byte-identical to
+    frame.pack(encode_frames(...)))."""
+    from .device_pack import pack_device
+    planes, _ = encode_frames_chunk(pcm, None, None, frame_bytes, js,
+                                    no_gain_control, no_tonal, bfu_idx_const)
+    return pack_device(planes, frame_bytes, js)
+
+
+@partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
+                                   "no_tonal", "bfu_idx_const"))
 def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
                         js=False, no_gain_control=True, no_tonal=True,
                         bfu_idx_const=0):

@@ -182,10 +182,7 @@ def _detect_run(x, resid):
         cur_len = jnp.where(ok_i, cur_len + 1, 0)
         better = cur_len > best_len
         best_len = jnp.where(better, cur_len, best_len)
-        best_start = jnp.where(better & (cur_len == 1), cur_start, best_start)
-        # a run that grows past the old best keeps its own start
-        best_start = jnp.where(better & (cur_len > 1),
-                               cur_start, best_start)
+        best_start = jnp.where(better, cur_start, best_start)
         return (cur_len, cur_start, best_len, best_start, idx + 1), None
 
     lanes = x.shape[0]

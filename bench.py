@@ -9,11 +9,11 @@ x 2 channels; realtime factor ~24x).  Measured 2026-08-16 with an oracle
 binary built from /root/reference (raw-float I/O, no libsndfile) on a
 47.5 s stereo corpus (997 Hz tone + noise).
 
-The TPU pipeline is batched over independent streams (the batch-transcoder
-scenario); the host-side serialization runs after device compute and is
-included in the measured wall time.  NOTE: on this rig device->host moves
-cross a network tunnel (~100 MB/s); on a directly-attached TPU host the
-transfer term is negligible.
+The whole pipeline — DSP, psychoacoustics, rate control, AND bitstream
+serialization (models/atrac3/device_pack.py + ops/bitdeposit.py) — runs on
+device; only the final 384-byte frames are transferred (0.8 MB/batch vs the
+19 MB of mantissa planes the old host-packing pipeline moved).  Container
+framing (96-byte OMA header) is the only host work left and is negligible.
 """
 import json
 import time
@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from atracdenc_tpu.models.atrac3.encoder import encode_frames
-    from atracdenc_tpu.models.atrac3 import frame as at3_frame
+    from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
 
     streams, channels, nframes = 8, 2, 256
     t = 1024 * nframes
@@ -39,25 +39,25 @@ def main():
                   -1, 1).astype(np.float32)
     x = jnp.asarray(pcm)
 
-    batched = jax.jit(jax.vmap(lambda p: encode_frames(
-        p, frame_bytes=384, js=False,
-        no_gain_control=False, no_tonal=False)))
-    host = jax.device_get(batched(x))  # compile + warm up
+    batched = jax.jit(lambda xs: pack_device_batch(
+        jax.vmap(lambda p: encode_frames(
+            p, frame_bytes=384, js=False,
+            no_gain_control=False, no_tonal=False))(xs), 384, False))
+    frames = jax.device_get(batched(x))    # compile + warm up
 
-    # steady-state pipeline: batch i+1 computes on-device while batch i
-    # transfers and serializes on the host
+    # steady-state pipeline: batch i+1 computes on-device while batch i's
+    # bytes transfer out; exactly `iters` computations inside the timer
     iters = 4
+    pending = None
     t0 = time.perf_counter()
-    pending = batched(x)
     for _ in range(iters):
         nxt = batched(x)                   # async dispatch
-        host = jax.device_get(pending)     # overlaps with nxt's compute
-        for s in range(streams):
-            frames = at3_frame.pack({k: v[s] for k, v in host.items()}, 384)
+        if pending is not None:
+            frames = jax.device_get(pending)   # overlaps with nxt's compute
         pending = nxt
-    jax.block_until_ready(pending)
+    frames = jax.device_get(pending)
     total_s = (time.perf_counter() - t0) / iters
-    assert frames.shape == (nframes, 384)
+    assert frames.shape == (streams, nframes, 384)
 
     fps = streams * nframes / total_s
     print(json.dumps({
