@@ -54,17 +54,28 @@ def quant_tensors(scaled, valid_mask):
     mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
 
     # plain rounding everywhere; the EA greedy pass (sort + scan) runs only
-    # on the lanes that actually use it: bfu > 18, wordlen 1..7
+    # on the lanes that actually use it: bfu > 18, wordlen 1..7 — and per
+    # block-size class, so the EA rank/permute pass runs at the true block
+    # length (32/64/128) instead of the 128-padded lanes (2.9x less work,
+    # and the greedy scan shrinks with it)
     mant, e1, e2 = _round_energy(lanes, valid, mul)
     err = e1 / e2
     ea_lo = T.LOSY_NAQ_START + 1
-    ea_lanes = lanes[..., ea_lo:, 1:, :]
-    ea_mul = mul[..., ea_lo:, 1:]
-    ea_mant, ea_err = quant_blocks(
-        ea_lanes, valid_mask[ea_lo:, None, :], ea_mul,
-        jnp.ones(ea_mul.shape, bool))
-    mant = mant.at[..., ea_lo:, 1:, :].set(ea_mant)
-    err = err.at[..., ea_lo:, 1:].set(ea_err)
+    groups = []
+    b = ea_lo
+    while b < T.MAX_BFUS:
+        ln = int(T.SPECS_PER_BLOCK[b])
+        e = b
+        while e < T.MAX_BFUS and int(T.SPECS_PER_BLOCK[e]) == ln:
+            e += 1
+        groups.append((b, e, ln))
+        b = e
+    for b, e, ln in groups:
+        ea_mant, ea_err = quant_blocks(
+            lanes[..., b:e, 1:, :ln], valid_mask[b:e, None, :ln],
+            mul[..., b:e, 1:], jnp.ones(mul[..., b:e, 1:].shape, bool))
+        mant = mant.at[..., b:e, 1:, :ln].set(ea_mant)
+        err = err.at[..., b:e, 1:].set(ea_err)
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).

@@ -20,6 +20,7 @@ import numpy as np
 from atracdenc_tpu.ops import psy, scale as scale_ops
 from . import tables as T
 from . import filterbank
+from . import specblocks
 from . import tonal
 from . import gain
 from .mdct import mdct_frames, gain_divisors, first_level_scale
@@ -41,11 +42,9 @@ def band_frames(pcm):
 
 
 def gather_bfu_blocks(specs):
-    """[..., 1024] spectra -> padded BFU blocks [..., 32, 128]."""
-    flat = _GATHER_IDX.reshape(-1)
-    vals = jnp.take_along_axis(
-        specs, jnp.broadcast_to(flat, specs.shape[:-1] + flat.shape), axis=-1)
-    return vals.reshape(specs.shape[:-1] + (T.MAX_BFUS, 128)) * _GATHER_MASK
+    """[..., 1024] spectra -> padded BFU blocks [..., 32, 128] (static
+    slices — the BFU ranges are contiguous, see specblocks.py)."""
+    return specblocks.to_blocks(specs) * _GATHER_MASK
 
 
 def spread_from_sfi(sfi):

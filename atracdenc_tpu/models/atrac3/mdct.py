@@ -47,39 +47,54 @@ def gain_divisors(levels, locs, npoints):
     levels, locs: [..., P] int32 (P <= 8, padded arbitrarily beyond npoints)
     npoints: [...] int32
     Returns div [..., 256] float32 (all-ones when npoints == 0).
+
+    Gain points are 8-sample-aligned (loc is in LOC_SZ units) and locs
+    strictly ascend, so each 8-sample block is either one point's ramp or a
+    constant level — everything resolves with one-hot selections (exact:
+    each one-hot row has a single 1), no TPU-hostile gathers.
     """
-    ramp = jnp.asarray(_ramp_table_np())        # [16, 16, 8]
+    ramp_flat = jnp.asarray(_ramp_table_np().reshape(256, T.LOC_SZ))
     p = levels.shape[-1]
+    batch = levels.shape[:-1]
+    # flatten lanes to rank <= 3 throughout (high-rank layouts are a TPU
+    # pathology, see BASELINE.md perf notes)
+    levels = levels.reshape(-1, p)
+    locs = locs.reshape(-1, p)
+    np_f = npoints.reshape(-1)
     slot = jnp.arange(p)
-    valid = slot < npoints[..., None]
-    locs8 = jnp.where(valid, locs * T.LOC_SZ, 4096)
+    valid = slot < np_f[:, None]
+    locb = jnp.where(valid, locs, 64)           # block units; invalid: out
     lev = jnp.where(valid, levels, T.EXPONENT_OFFSET)
+    lev_ext = jnp.concatenate(
+        [lev, jnp.full((lev.shape[0], 1), 4, lev.dtype)], axis=-1)
 
-    pos = jnp.arange(256)
-    # i(pos) = number of points with loc*8 <= pos
-    idx = jnp.sum(locs8[..., None, :] <= pos[:, None], axis=-1)   # [..., 256]
+    b = jnp.arange(256 // T.LOC_SZ)
+    # points at or before block b (const region selector)
+    idx_b = jnp.sum((locb[:, None, :] <= b[None, :, None]), axis=-1)
+    sel = jnp.minimum(idx_b, np_f[:, None])                 # [L, 32]
+    oh_sel = sel[..., None] == jnp.arange(p + 1)
+    lev_at = jnp.sum(jnp.where(oh_sel, lev_ext[:, None, :], 0), axis=-1)
+    oh_lvl = lev_at[..., None] == jnp.arange(16)
+    const_div = jnp.sum(jnp.where(oh_lvl, _GAIN_LEVEL, 0.0), axis=-1)
 
-    # constant region of point idx (or tail neutral when idx == npoints)
-    lev_at = jnp.take_along_axis(
-        jnp.concatenate([lev, jnp.full(lev.shape[:-1] + (1,), 4, lev.dtype)],
-                        axis=-1),
-        jnp.minimum(idx, npoints[..., None]), axis=-1)
-    const_div = _GAIN_LEVEL[lev_at]
-
-    # ramp region: pos within [loc*8, loc*8+8) of point idx-1
-    prev_i = jnp.maximum(idx - 1, 0)
-    prev_loc8 = jnp.take_along_axis(locs8, prev_i, axis=-1)
-    k = pos - prev_loc8
-    in_ramp = (idx > 0) & (k >= 0) & (k < T.LOC_SZ)
-    lev_cur = jnp.take_along_axis(lev, prev_i, axis=-1)
-    lev_nxt = jnp.take_along_axis(
-        jnp.concatenate([lev, jnp.full(lev.shape[:-1] + (1,), 4, lev.dtype)],
-                        axis=-1),
-        jnp.minimum(idx, npoints[..., None]), axis=-1)
-    ramp_div = ramp[lev_cur, lev_nxt, jnp.clip(k, 0, T.LOC_SZ - 1)]
-
-    div = jnp.where(in_ramp, ramp_div, const_div)
-    return jnp.where((npoints > 0)[..., None], div, 1.0)
+    # point p's own block ramps from lev[p] toward lev_ext[p+1]; the
+    # one-hot row selects exactly one table row, and Precision.HIGHEST
+    # keeps the f32 ramp values exact through the MXU (the default bf16
+    # pass would truncate their mantissas)
+    cn = jnp.where(valid, lev * 16 + lev_ext[:, 1:], 255)
+    oh_cn = (cn.reshape(-1)[:, None] == jnp.arange(256)) \
+        .astype(jnp.float32)
+    rampvals = jnp.dot(oh_cn, ramp_flat,
+                       precision=jax.lax.Precision.HIGHEST) \
+        .reshape(cn.shape + (T.LOC_SZ,))                    # [L, P, 8]
+    oh_b = (locb[:, None, :] == b[None, :, None])           # [L, 32, P]
+    has_ramp = oh_b.any(-1)
+    ramp_b = jnp.sum(jnp.where(oh_b[..., None], rampvals[:, None, :, :],
+                               0.0), axis=-2)               # [L, 32, 8]
+    div_b = jnp.where(has_ramp[..., None], ramp_b, const_div[..., None])
+    div = div_b.reshape(div_b.shape[0], 256)
+    div = jnp.where((np_f > 0)[:, None], div, 1.0)
+    return div.reshape(batch + (256,))
 
 
 def first_level_scale(levels, npoints):

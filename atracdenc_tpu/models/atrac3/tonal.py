@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from atracdenc_tpu.ops import scale as scale_ops
+from . import specblocks
 from . import tables as T
 
 FLATNESS_THRESHOLD = 0.01
@@ -35,10 +36,7 @@ _IOTA32 = jnp.arange(32)
 def flatness_per_bfu(mdct_energy, energy_floor=1e-12):
     """[..., 1024] per-line energies -> [..., 32] geometric/arithmetic-mean
     ratios (CalcSpectralFlatnessPerBfu)."""
-    idx = jnp.asarray(T.GATHER_IDX.reshape(-1))
-    vals = jnp.take_along_axis(
-        mdct_energy, jnp.broadcast_to(idx, mdct_energy.shape[:-1] + idx.shape),
-        axis=-1).reshape(mdct_energy.shape[:-1] + (32, 128))
+    vals = specblocks.to_blocks(mdct_energy)
     mask = jnp.asarray(T.GATHER_MASK)
     floor = max(energy_floor, 1e-20)
     e = jnp.maximum(vals, 0.0)
@@ -62,24 +60,20 @@ def extract(specs, flatness):
     gate = (flatness < FLATNESS_THRESHOLD) \
         & (_IOTA32 >= TONAL_BFU_FIRST) & (_IOTA32 < TONAL_BFU_LAST)
 
-    idx = jnp.asarray(T.GATHER_IDX.reshape(-1))
-    blocks = jnp.take_along_axis(
-        specs, jnp.broadcast_to(idx, specs.shape[:-1] + idx.shape),
-        axis=-1).reshape(specs.shape[:-1] + (32, 128))
+    blocks = specblocks.to_blocks(specs)
     absb = jnp.abs(blocks) * jnp.asarray(T.GATHER_MASK)
 
-    # score[start, len] = sum_{k < len} |spec[start+k]| via shifted cumsums;
-    # out-of-block (start+len > blockLen) candidates are invalid.
+    # score[start, len] = sum_{k < len} |spec[start+k]| via shifted cumsums
+    # (static slices per run length); out-of-block candidates are invalid.
     cum = jnp.cumsum(absb, axis=-1)                       # [..., 32, 128]
     pad = jnp.pad(cum, [(0, 0)] * (cum.ndim - 1) + [(1, 0)])
     lens = jnp.arange(1, MAX_TONAL_LEN + 1)
     starts = jnp.arange(128)
     # score[..., start, L-1] = cum[start+L-1] - cum[start-1]
-    end_idx = jnp.minimum(starts[:, None] + lens[None, :], 128)
-    score = (jnp.take_along_axis(
-        pad, jnp.broadcast_to(end_idx.reshape(-1), pad.shape[:-1] + (640,)),
-        axis=-1).reshape(pad.shape[:-1] + (128, 5))
-        - pad[..., :-1][..., :, None])
+    score = jnp.stack(
+        [jnp.pad(pad[..., ln:], [(0, 0)] * (cum.ndim - 1) + [(0, ln - 1)],
+                 constant_values=0)[..., :128] - pad[..., :-1]
+         for ln in range(1, MAX_TONAL_LEN + 1)], axis=-1)
     valid = (starts[:, None] + lens[None, :]
              <= jnp.asarray(T.SPECS_PER_BLOCK)[:, None, None])
     score = jnp.where(valid, score, -1.0)
@@ -96,22 +90,21 @@ def extract(specs, flatness):
     start_abs = jnp.asarray(T.SPECS_START) + best_start
     ln = jnp.where(active, best_len, 0)
 
-    # gather values and zero them out of the spectrum
+    # lift the run values from the block view (one-hot over in-block
+    # offsets; the runs never cross BFU boundaries) and zero them in place
     offs = jnp.arange(MAX_TONAL_LEN)
-    pos = start_abs[..., None] + offs                     # [..., 32, 5]
-    in_run = active[..., None] & (offs < ln[..., None])
-    gather_pos = jnp.where(in_run, pos, 0)
-    vals = jnp.take_along_axis(
-        specs, gather_pos.reshape(specs.shape[:-1] + (-1,)),
-        axis=-1).reshape(pos.shape)
+    in_run = active[..., None] & (offs < ln[..., None])   # [..., 32, 5]
+    k128 = jnp.arange(128)
+    sel = (k128[None, :] - best_start[..., None])         # [..., 32, 128]
+    run_mask = active[..., None] & (sel >= 0) \
+        & (sel < ln[..., None])                           # [..., 32, 128]
+    oh = (sel[..., None, :] == offs[:, None]) & run_mask[..., None, :]
+    vals = jnp.sum(jnp.where(oh, blocks[..., None, :], 0.0), axis=-1)
     vals = jnp.where(in_run, vals, 0.0)
 
     # zero the lifted runs out of the spectrum (atrac3denc.cpp:635-639)
-    line = jnp.arange(1024)
-    run_start = jnp.where(active, start_abs, 2048)
-    hit = (line >= run_start[..., None]) \
-        & (line < (run_start + ln)[..., None])            # [..., 32, 1024]
-    specs_out = jnp.where(jnp.any(hit, axis=-2), 0.0, specs)
+    specs_out = specblocks.from_blocks(
+        jnp.where(run_mask, 0.0, blocks))
 
     planes = {"active": active, "start": start_abs * active,
               "len": ln, "values": vals}

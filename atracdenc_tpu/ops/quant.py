@@ -7,14 +7,15 @@ distance to the rounding boundary, flipping individual roundings while that
 moves the quantized block energy toward the original energy.
 
 The greedy pass is a true sequential dependence (each accepted flip changes
-the running energy), so it runs as a `lax.scan` over the sorted candidate
-axis with the running energy as carry — one fused scan for every
-(channel, frame, bfu, wordlen) lane at once.
+the running energy), so it runs as a `lax.scan` over the rank-ordered
+candidate axis with the running energy as carry — one fused scan for every
+(channel, frame, bfu, wordlen) lane at once.  Candidate ordering is a
+stable comparison-count rank (ties broken by element index; the reference's
+std::sort is unstable, so tie order is unspecified there) applied through
+exact one-hot MXU permutations — no sorting network.
 """
 import jax
 import jax.numpy as jnp
-
-from atracdenc_tpu.ops.sort import bitonic_sort, bitonic_unsort
 
 __all__ = ["quant_blocks"]
 
@@ -54,7 +55,7 @@ def quant_blocks(scaled, valid, mul, ea_mask):
     delta = t - (jnp.trunc(t) + 0.5)
     cand = valid & (jnp.abs(delta) < 0.25) & ea_mask[..., None] & (mul > 0)[..., None]
 
-    # sort/gather must run on 2-D [rows, L] layouts: on TPU the same ops on
+    # rank/gather must run on 2-D [rows, L] layouts: on TPU the same ops on
     # high-rank small-trailing-dim shapes are ~1000x slower
     batch_shape = scaled.shape[:-1]
     L = scaled.shape[-1]
@@ -66,49 +67,64 @@ def quant_blocks(scaled, valid, mul, ea_mask):
     e2f = e2.reshape(-1)
     mulf = mul.reshape(-1)
     inv2f = inv2.reshape(-1)
-
-    # Sort candidates by |delta| ascending; non-candidates sort to the end.
-    # (bitonic network — XLA's sort primitive is pathologically slow on TPU)
-    sort_key = jnp.where(cand, jnp.abs(flat(delta)), jnp.inf)
-    iota = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), t.shape)
-    _, (t_s, m_s, cand_s, order) = bitonic_sort(
-        sort_key, (t, mant, cand, iota))
-    abs_t = jnp.abs(t_s)
-    abs_m = jnp.abs(m_s).astype(scaled.dtype)
+    abs_t = jnp.abs(t)
+    abs_m = jnp.abs(mant).astype(scaled.dtype)
 
     up = e2f < e1f  # branch fixed before the pass (atrac_scale.cpp:85,107)
     dn = e2f > e1f
 
     # Proposed flipped mantissa per candidate (away from 0 when up-branch,
-    # toward 0 when down-branch).
-    m_up = jnp.where(m_s > 0, m_s + 1, jnp.where(m_s < 0, m_s - 1,
-                     jnp.where(t_s > 0, 1, -1)))
-    m_dn = jnp.where(m_s > 0, m_s - 1, jnp.where(m_s < 0, m_s + 1, m_s))
+    # toward 0 when down-branch) and its eligibility — all per element,
+    # BEFORE ordering (they don't depend on the greedy state).
+    m_up = jnp.where(mant > 0, mant + 1, jnp.where(mant < 0, mant - 1,
+                     jnp.where(t > 0, 1, -1)))
+    m_dn = jnp.where(mant > 0, mant - 1, jnp.where(mant < 0, mant + 1, mant))
     m_new = jnp.where(up[..., None], m_up, m_dn)
-
     elig_up = (abs_m < abs_t) & (abs_m < (mulf - 1.0)[..., None])
     elig_dn = abs_m > abs_t
-    elig = cand_s & jnp.where(up[..., None], elig_up,
-                              jnp.where(dn[..., None], elig_dn, False))
+    elig = cand & jnp.where(up[..., None], elig_up,
+                            jnp.where(dn[..., None], elig_dn, False))
+
+    # Candidates process in |delta|-ascending order.  Instead of a sorting
+    # network, compute each element's stable RANK by comparison count and
+    # move the (small-integer) greedy inputs through an exact one-hot
+    # permutation on the MXU (Precision.HIGHEST keeps f32 exact; every row
+    # selects a single element, so sums are exact).  accept travels back
+    # through the transposed permutation; nothing else needs unsorting.
+    key = jnp.where(cand, jnp.abs(flat(delta)), jnp.inf)
+    li = jnp.arange(L)
+    less = (key[..., None, :] < key[..., :, None]) \
+        | ((key[..., None, :] == key[..., :, None])
+           & (li[None, :] < li[:, None]))
+    rank = jnp.sum(less, axis=-1).astype(jnp.int32)       # [rows, L]
+    perm = (rank[..., None, :] == li[:, None]) \
+        .astype(jnp.float32)                              # [rows, k, j]
+
+    msq = (mant * mant).astype(jnp.float32)
+    nsq = (m_new * m_new).astype(jnp.float32)
+    packed = jnp.stack([msq, nsq, elig.astype(jnp.float32)], axis=-1)
+    hi = jax.lax.Precision.HIGHEST
+    sorted_p = jnp.einsum("rkj,rjc->rkc", perm, packed, precision=hi)
+    a = sorted_p[..., 0] * inv2f[..., None]
+    b = sorted_p[..., 1] * inv2f[..., None]
+    elig_s = sorted_p[..., 2] > 0.5
 
     # e2 update terms, applied in the reference's exact float order:
     # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121)
-    a = (m_s * m_s).astype(scaled.dtype) * inv2f[..., None]
-    b = (m_new * m_new).astype(scaled.dtype) * inv2f[..., None]
-
     def step(e2_run, xs):
         elig_k, a_k, b_k = xs
         ex = (e2_run - a_k) + b_k
         accept = elig_k & (jnp.abs(ex - e1f) < jnp.abs(e2_run - e1f))
         return jnp.where(accept, ex, e2_run), accept
 
-    e2_fin, accept = jax.lax.scan(
-        step, e2f, (jnp.moveaxis(elig, -1, 0), jnp.moveaxis(a, -1, 0),
+    e2_fin, accept_s = jax.lax.scan(
+        step, e2f, (jnp.moveaxis(elig_s, -1, 0), jnp.moveaxis(a, -1, 0),
                     jnp.moveaxis(b, -1, 0)))
-    accept = jnp.moveaxis(accept, 0, -1)
+    accept_s = jnp.moveaxis(accept_s, 0, -1)
 
-    mant_s = jnp.where(accept, m_new, m_s)
-    (mant,) = bitonic_unsort(order, (mant_s,))
+    accept = jnp.einsum("rkj,rk->rj", perm,
+                        accept_s.astype(jnp.float32), precision=hi) > 0.5
+    mant = jnp.where(accept, m_new, mant)
     err = (e1f / e2_fin).reshape(batch_shape)
     mant = mant.reshape(batch_shape + (L,))
     return jnp.where(valid, mant, 0), err

@@ -32,18 +32,19 @@ def _stage_params(n):
 
 def bitonic_sort(key, payloads=()):
     """Sort `key` ascending along the last axis (power-of-two length),
-    permuting each payload identically.  Returns (key_sorted, payloads)."""
+    permuting each payload identically.  Returns (key_sorted, payloads).
+
+    Stages are unrolled with STATIC shifts: dynamic-shift rolls inside a
+    fori_loop made XLA compilation take minutes per instantiation, while
+    static rotations compile fast and fuse; liveness keeps only the current
+    key/payloads plus one partner temporary alive."""
     n = key.shape[-1]
     assert n & (n - 1) == 0, "bitonic sort needs a power-of-two length"
     ks, js = _stage_params(n)
-    ks_a = jnp.asarray(ks)
-    js_a = jnp.asarray(js)
     idx = jnp.arange(n)
+    payloads = tuple(payloads)
 
-    def stage(s, carry):
-        key, payloads = carry
-        k = ks_a[s]
-        j = js_a[s]
+    for k, j in zip(ks.tolist(), js.tolist()):
         low = (idx & j) == 0
         take_min = ((idx & k) == 0) == low
 
@@ -55,12 +56,9 @@ def bitonic_sort(key, payloads=()):
         new_key = jnp.where(take_min, jnp.minimum(key, pk),
                             jnp.maximum(key, pk))
         take_p = jnp.where(take_min, pk < key, pk > key)
-        new_payloads = tuple(jnp.where(take_p, partner(p), p)
-                             for p in payloads)
-        return new_key, new_payloads
-
-    key, payloads = jax.lax.fori_loop(
-        0, len(ks), stage, (key, tuple(payloads)))
+        payloads = tuple(jnp.where(take_p, partner(p), p)
+                         for p in payloads)
+        key = new_key
     return key, list(payloads)
 
 
