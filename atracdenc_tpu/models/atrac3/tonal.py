@@ -187,13 +187,17 @@ def scale_groups(planes):
     scaled = scaled * in_run
 
     # mantissas per quantizer: plain lrint, no EA (atrac3_bitstream.cpp:576)
-    q = jnp.arange(8)
+    from .bitalloc import _vlc_bits_arith
     mant = jnp.round(scaled[..., None, :]
                      * jnp.asarray(T.MAX_QUANT)[:, None]).astype(jnp.int32)
     idx = jnp.where(mant < 0, -mant * 2, jnp.where(mant > 0, mant * 2 - 1, 0))
-    sel = jnp.clip(q - 1, 0, 6)
-    bits = _VLC_BITS[sel[None, :, None], idx]
-    vlc = jnp.sum(jnp.where(in_run[..., None, :], bits, 0), axis=-1)
+    # per static quantizer: step-function table arithmetic, no gathers
+    vlc = jnp.stack(
+        [jnp.sum(jnp.where(in_run,
+                           _vlc_bits_arith(idx[..., qq, :],
+                                           min(max(qq - 1, 0), 6)), 0),
+                 axis=-1)
+         for qq in range(8)], axis=-1)
     planes = dict(planes)
     planes["sfi"] = sfi
     planes["vlc_cost"] = vlc.astype(jnp.int32)
@@ -225,10 +229,9 @@ def make_cost_fn(planes):
         active, quant = block_quant(planes, wl, num_bfu)
         bucket = jnp.where(active, quant * 8 + ln, 0)     # 0 = inactive
 
-        member_bits = jnp.where(
-            active,
-            12 + jnp.take_along_axis(vlc, quant[..., None], axis=-1)[..., 0],
-            0)
+        vlc_at_q = sum(jnp.where(quant == qq, vlc[..., qq], 0)
+                       for qq in range(2, 8))        # quant clamps to 2..7
+        member_bits = jnp.where(active, 12 + vlc_at_q, 0)
         base = jnp.sum(member_bits, axis=-1)
 
         nbuckets = 64
