@@ -106,7 +106,10 @@ def quant_tensors(scaled, valid_mask):
     vlc_pair = jnp.sum(jnp.where(pair_valid, bits_pair, 0), axis=-1)
 
     vlc = vlc_single.at[..., 1].set(vlc_pair).astype(jnp.int32)
-    return {"mant": mant, "err": err, "clc": clc, "vlc": vlc}
+    # mantissas fit int8 (|m| <= 32); the [.., 32, 8, 128] memo is the
+    # largest live tensor, and int8 storage cuts its HBM traffic 4x
+    return {"mant": mant.astype(jnp.int8), "err": err, "clc": clc,
+            "vlc": vlc}
 
 
 def _vlc_bits_arith(idx, sel):

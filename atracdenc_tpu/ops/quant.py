@@ -98,16 +98,24 @@ def quant_blocks(scaled, valid, mul, ea_mask):
            & (li[None, :] < li[:, None]))
     rank = jnp.sum(less, axis=-1).astype(jnp.int32)       # [rows, L]
     perm = (rank[..., None, :] == li[:, None]) \
-        .astype(jnp.float32)                              # [rows, k, j]
+        .astype(jnp.bfloat16)                             # [rows, k, j]
 
-    msq = (mant * mant).astype(jnp.float32)
-    nsq = (m_new * m_new).astype(jnp.float32)
-    packed = jnp.stack([msq, nsq, elig.astype(jnp.float32)], axis=-1)
-    hi = jax.lax.Precision.HIGHEST
-    sorted_p = jnp.einsum("rkj,rjc->rkc", perm, packed, precision=hi)
-    a = sorted_p[..., 0] * inv2f[..., None]
-    b = sorted_p[..., 1] * inv2f[..., None]
-    elig_s = sorted_p[..., 2] > 0.5
+    # the permuted values are small ints (m^2 <= 1089): byte-split them so
+    # a native bf16 MXU matmul stays exact (0..255 and 0/1 are exact bf16;
+    # each one-hot row selects a single element, so f32 accumulation of one
+    # product is exact), then recombine
+    msq = mant * mant
+    nsq = m_new * m_new
+    packed = jnp.stack(
+        [msq >> 8, msq & 0xFF, nsq >> 8, nsq & 0xFF,
+         elig.astype(jnp.int32)], axis=-1).astype(jnp.bfloat16)
+    sorted_p = jnp.einsum("rkj,rjc->rkc", perm, packed,
+                          preferred_element_type=jnp.float32)
+    msq_s = sorted_p[..., 0] * 256.0 + sorted_p[..., 1]
+    nsq_s = sorted_p[..., 2] * 256.0 + sorted_p[..., 3]
+    a = msq_s * inv2f[..., None]
+    b = nsq_s * inv2f[..., None]
+    elig_s = sorted_p[..., 4] > 0.5
 
     # e2 update terms, applied in the reference's exact float order:
     # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121)
@@ -123,7 +131,8 @@ def quant_blocks(scaled, valid, mul, ea_mask):
     accept_s = jnp.moveaxis(accept_s, 0, -1)
 
     accept = jnp.einsum("rkj,rk->rj", perm,
-                        accept_s.astype(jnp.float32), precision=hi) > 0.5
+                        accept_s.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) > 0.5
     mant = jnp.where(accept, m_new, mant)
     err = (e1f / e2_fin).reshape(batch_shape)
     mant = mant.reshape(batch_shape + (L,))
