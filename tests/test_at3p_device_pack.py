@@ -1,0 +1,35 @@
+"""AT3P on-device serialization vs the host packer (byte-identity)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def _tonal_pcm(seconds=1.0, channels=2):
+    sr = 44100
+    t = np.arange(int(sr * seconds))
+    x = (0.5 * np.sin(2 * np.pi * 689.0625 * t / sr)
+         + 0.2 * np.sin(2 * np.pi * 3000.5 * t / sr))
+    # an onset midway exercises envelopes
+    x[: t.size // 2] *= 0.05
+    x = x + 0.01 * np.random.default_rng(0).standard_normal(t.size)
+    pcm = np.stack([x, 0.8 * x])[:channels]
+    return np.clip(pcm, -1, 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("channels,use_gha", [(2, True), (1, True),
+                                              (2, False)])
+def test_at3p_pack_device_byte_identity(channels, use_gha):
+    from atracdenc_tpu.models.atrac3p import frame as at3p_frame
+    from atracdenc_tpu.models.atrac3p.encoder import encode_track
+    from atracdenc_tpu.models.atrac3p.device_pack import pack_device
+
+    pcm = _tonal_pcm(channels=channels)
+    planes = encode_track(pcm, use_gha=use_gha)
+    ref = at3p_frame.pack(planes, channels)
+    dev_planes = {k: (jnp.asarray(v) if not isinstance(v, dict)
+                      else {kk: jnp.asarray(vv) for kk, vv in v.items()})
+                  for k, v in planes.items()}
+    dev = np.asarray(pack_device(dev_planes, channels))
+    assert ref.shape == dev.shape
+    diff = int((ref != dev).sum())
+    assert diff == 0, f"{diff}/{ref.size} bytes differ"
