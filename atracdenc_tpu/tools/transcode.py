@@ -2,9 +2,9 @@
 
 The reference is a one-file-at-a-time CLI; this drives the batched TPU
 pipeline across a corpus: tracks are chunked to fixed frame counts (so XLA
-compilations are reused across files), device compute of the next chunk
-overlaps host serialization of the previous one, and results stream to
-per-track containers.
+compilations are reused across files), and frame serialization runs ON
+DEVICE (models/*/device_pack.py) so only final frame bytes leave the chip;
+the host only writes container headers.
 
     python -m atracdenc_tpu.tools.transcode --codec atrac3 --out-dir enc/ *.wav
 """
@@ -42,12 +42,13 @@ def main(argv=None):
 
         if args.codec == "atrac1":
             from atracdenc_tpu.models.atrac1.encoder import encode_track
-            from atracdenc_tpu.models.atrac1 import frame as at1_frame
+            from atracdenc_tpu.models.atrac1.device_pack import pack_device
+            import jax.numpy as jnp
             import numpy as np
             planes = encode_track(pcm)
-            merged = {k: np.swapaxes(np.asarray(v), 0, 1).reshape(
+            merged = {k: jnp.swapaxes(jnp.asarray(v), 0, 1).reshape(
                 (-1,) + v.shape[2:]) for k, v in planes.items()}
-            frames = at1_frame.pack(merged)
+            frames = np.asarray(pack_device(merged))
             out = os.path.join(args.out_dir, name + ".aea")
             aea.write(out, frames, channels, pcm.shape[1])
         elif args.codec == "atrac3":
@@ -55,10 +56,14 @@ def main(argv=None):
             from atracdenc_tpu.models.atrac3.encoder import encode_track
             from atracdenc_tpu.models.atrac3 import frame as at3_frame
             _, fsz, js = T3.container_params_for_bitrate(args.bitrate * 1024)
+            import jax.numpy as jnp
+            import numpy as np
+            from atracdenc_tpu.models.atrac3.device_pack import pack_device
             planes = encode_track(pcm, frame_bytes=fsz, js=js,
                                   no_gain_control=False, no_tonal=False,
                                   chunk_frames=args.chunk_frames)
-            frames = at3_frame.pack(planes, fsz, js=js)
+            frames = np.asarray(pack_device(
+                {k: jnp.asarray(v) for k, v in planes.items()}, fsz, js=js))
             out = os.path.join(args.out_dir, name + ".oma")
             oma.write(out, frames, oma.CODEC_ATRAC3, fsz,
                       channels=channels, joint_stereo=js)
@@ -66,8 +71,15 @@ def main(argv=None):
             from atracdenc_tpu.models.atrac3p import tables as TP
             from atracdenc_tpu.models.atrac3p.encoder import encode_track
             from atracdenc_tpu.models.atrac3p import frame as at3p_frame
+            import jax.numpy as jnp
+            import numpy as np
+            from atracdenc_tpu.models.atrac3p.device_pack import pack_device
             planes = encode_track(pcm)
-            frames = at3p_frame.pack(planes, channels)
+            dev_planes = {k: (jnp.asarray(v) if not isinstance(v, dict)
+                              else {kk: jnp.asarray(vv)
+                                    for kk, vv in v.items()})
+                          for k, v in planes.items()}
+            frames = np.asarray(pack_device(dev_planes, channels))
             out = os.path.join(args.out_dir, name + ".oma")
             oma.write(out, frames, oma.CODEC_ATRAC3PLUS, TP.FRAME_BYTES,
                       channels=channels)
