@@ -69,6 +69,23 @@ def encode_batch_at3_sharded(pcm, mesh):
     return fn(jax.device_put(pcm, in_sharding))
 
 
+def encode_batch_at3_bytes_sharded(pcm, mesh):
+    """Sharded ATRAC3 encode INCLUDING on-device serialization: the frame
+    axis of the bit-deposit matmuls shards like any batch axis, so final
+    frame bytes come out already distributed over the mesh.
+
+    pcm: [S, C, T] -> [S, F, 384] uint8 sharded over dp."""
+    from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
+
+    def enc(p):
+        return pack_device_batch(encode_batch_at3(p), 384, False)
+
+    in_sharding = NamedSharding(mesh, P("dp", None, "sp"))
+    out_sharding = NamedSharding(mesh, P("dp"))
+    fn = jax.jit(enc, in_shardings=in_sharding, out_shardings=out_sharding)
+    return fn(jax.device_put(pcm, in_sharding))
+
+
 def dryrun(n_devices: int) -> None:
     """Compile + run sharded encode steps on tiny shapes (driver hook)."""
     mesh = make_mesh(n_devices)
@@ -88,3 +105,7 @@ def dryrun(n_devices: int) -> None:
     planes3 = encode_batch_at3_sharded(jnp.asarray(pcm3), mesh)
     jax.block_until_ready(planes3)
     assert planes3["wordlen"].shape == (s, 2, t3 // 1024, 32)
+
+    frames3 = encode_batch_at3_bytes_sharded(jnp.asarray(pcm3), mesh)
+    jax.block_until_ready(frames3)
+    assert frames3.shape == (s, t3 // 1024, 384)
