@@ -190,8 +190,11 @@ def allocate(sfi, energy, short_flags, loudness, bfu_idx_const=0):
             bfu_num = _BFU_AMOUNT[bfu_idx]
             last_nz = jnp.max(jnp.where((wl > 0) & (_IOTA52 < bfu_num[..., None]),
                                         _IOTA52, -1), axis=-1)
-            used_idx = jnp.searchsorted(_BFU_AMOUNT, last_nz + 1, side="left"
-                                        ).astype(jnp.int32)
+            # lower_bound over the 8-entry table as a comparison count
+            # (XLA searchsorted lowers to slow per-lane binary search)
+            used_idx = jnp.sum(
+                jnp.asarray(T.BFU_AMOUNT_TAB)[None, :]
+                < (last_nz + 1)[..., None], axis=-1).astype(jnp.int32)
             repeat = used_idx < bfu_idx
             new_idx = jnp.where(repeat, bfu_idx - 1, bfu_idx)
             new_wl = _bisect(sfi, energy, short_flags, loudness,

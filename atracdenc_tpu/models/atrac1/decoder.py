@@ -31,17 +31,24 @@ def decode_frames(short_mask, wordlen, sfi, mant):
     vals = (scale_tab[sfi] * max_quant)[..., None] * mant.astype(jnp.float32)
     vals = jnp.where((wordlen >= 2)[..., None], vals, 0.0) * _GATHER_MASK
 
-    # scatter padded blocks into [C, F, 512] spectra
-    short_per_bfu = jnp.take_along_axis(
-        short_mask, jnp.broadcast_to(_BFU_TO_BAND, (c, f, T.MAX_BFUS)), axis=-1)
-    idx = jnp.where(short_per_bfu[..., None], _GATHER_SHORT, _GATHER_LONG)
-    # padding lanes scatter out-of-range and are dropped
-    idx = jnp.where(_GATHER_MASK, idx, 512)
-    flat_idx = idx.reshape(c, f, -1)
-    flat_vals = vals.reshape(c, f, -1)
-    specs = jnp.zeros((c, f, 512), jnp.float32)
-    specs = jax.vmap(jax.vmap(lambda s, i, v: s.at[i].set(v, mode="drop")))(
-        specs, flat_idx, flat_vals)
+    # assemble [C, F, 512] spectra from the padded blocks; both line
+    # layouts tile the spectrum with contiguous per-BFU runs, so the
+    # scatter is two static concatenations + a per-BFU select (a dynamic
+    # scatter here costs ~100x more on TPU)
+    import numpy as np
+    short_per_bfu = sum(
+        short_mask[..., band, None] * (np.asarray(T.BFU_TO_BAND) == band)
+        for band in range(3)).astype(bool)            # [C, F, 52]
+    vals_l = jnp.where(short_per_bfu[..., None], 0.0, vals)
+    vals_s = jnp.where(short_per_bfu[..., None], vals, 0.0)
+
+    def assemble_from(v, start_tab):
+        order = np.argsort(np.asarray(start_tab)[:, 0], kind="stable")
+        parts = [v[..., b, : int(T.SPECS_PER_BLOCK[b])] for b in order]
+        return jnp.concatenate(parts, axis=-1)
+
+    specs = assemble_from(vals_l, T.GATHER_LONG) \
+        + assemble_from(vals_s, T.GATHER_SHORT)
 
     low = imdct_frames(specs[..., 0:128], short_mask[..., 0], 0).reshape(c, -1)
     mid = imdct_frames(specs[..., 128:256], short_mask[..., 1], 1).reshape(c, -1)

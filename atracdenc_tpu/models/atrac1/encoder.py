@@ -34,19 +34,33 @@ def _invert_spectrum(x):
     return x * sign
 
 
+def _blocks_static(specs, start_tab):
+    """[..., 512] -> [..., 52, 20] padded BFU blocks for one (static) line
+    layout — every BFU's lines are a contiguous run, so this is a slice/pad
+    composition, not a gather."""
+    parts = []
+    for b in range(T.MAX_BFUS):
+        s = int(start_tab[b, 0])
+        n = int(T.SPECS_PER_BLOCK[b])
+        parts.append(jnp.pad(specs[..., s:s + n],
+                             [(0, 0)] * (specs.ndim - 1) + [(0, 20 - n)]))
+    return jnp.stack(parts, axis=-2)
+
+
 def gather_bfu_blocks(specs, short_flags):
-    """Gather [..., 512] spectra into padded BFU blocks [..., 52, 20].
+    """[..., 512] spectra -> padded BFU blocks [..., 52, 20].
 
     short_flags: [..., 3] bool per band; selects short/long line layout
-    (atrac_scale.cpp:175-188).
+    (atrac_scale.cpp:175-188).  Both layouts are static slice compositions;
+    the per-BFU choice is a select (TPU gathers here cost ~600 ms/batch).
     """
-    short_per_bfu = jnp.take_along_axis(
-        short_flags, jnp.broadcast_to(_BFU_TO_BAND, short_flags.shape[:-1] + (T.MAX_BFUS,)),
-        axis=-1)
-    idx = jnp.where(short_per_bfu[..., None], _GATHER_SHORT, _GATHER_LONG)
-    flat = idx.reshape(idx.shape[:-2] + (-1,))
-    vals = jnp.take_along_axis(specs, flat, axis=-1)
-    return vals.reshape(idx.shape) * _GATHER_MASK
+    long_b = _blocks_static(specs, T.GATHER_LONG)
+    short_b = _blocks_static(specs, T.GATHER_SHORT)
+    short_per_bfu = sum(
+        short_flags[..., band, None] * (np.asarray(T.BFU_TO_BAND) == band)
+        for band in range(3))                         # [..., 52] bool-ish
+    return jnp.where(short_per_bfu[..., None].astype(bool),
+                     short_b, long_b) * _GATHER_MASK
 
 
 @partial(jax.jit, static_argnames=("bfu_idx_const", "window_mode", "window_mask"))

@@ -29,7 +29,7 @@ def main():
     from atracdenc_tpu.models.atrac3.encoder import encode_frames
     from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
 
-    streams, channels, nframes = 8, 2, 256
+    streams, channels, nframes = 32, 2, 256
     t = 1024 * nframes
     rng = np.random.default_rng(42)
     n = np.arange(t, dtype=np.float64)
