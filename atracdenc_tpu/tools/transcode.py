@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--bitrate", type=int, default=0)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--chunk-frames", type=int, default=512)
+    p.add_argument("--resume", action="store_true",
+                   help="skip inputs whose output already exists (outputs "
+                        "are written atomically via a temp file, so an "
+                        "interrupted run never leaves a partial container)")
     args = p.parse_args(argv)
 
     from atracdenc_tpu.io import wav
@@ -31,6 +35,12 @@ def main(argv=None):
     t0 = time.perf_counter()
     total_samples = 0
     for path in args.inputs:
+        name0 = os.path.splitext(os.path.basename(path))[0]
+        ext = ".aea" if args.codec == "atrac1" else ".oma"
+        final = os.path.join(args.out_dir, name0 + ext)
+        if args.resume and os.path.exists(final):
+            print(f"skip {path}: {final} exists")
+            continue
         pcm, rate = wav.read(path)
         if rate != 44100:
             print(f"skip {path}: unsupported sample rate {rate}",
@@ -50,7 +60,8 @@ def main(argv=None):
                 (-1,) + v.shape[2:]) for k, v in planes.items()}
             frames = np.asarray(pack_device(merged))
             out = os.path.join(args.out_dir, name + ".aea")
-            aea.write(out, frames, channels, pcm.shape[1])
+            aea.write(out + ".tmp", frames, channels, pcm.shape[1])
+            os.replace(out + ".tmp", out)
         elif args.codec == "atrac3":
             from atracdenc_tpu.models.atrac3 import tables as T3
             from atracdenc_tpu.models.atrac3.encoder import encode_track
@@ -65,8 +76,9 @@ def main(argv=None):
             frames = np.asarray(pack_device(
                 {k: jnp.asarray(v) for k, v in planes.items()}, fsz, js=js))
             out = os.path.join(args.out_dir, name + ".oma")
-            oma.write(out, frames, oma.CODEC_ATRAC3, fsz,
+            oma.write(out + ".tmp", frames, oma.CODEC_ATRAC3, fsz,
                       channels=channels, joint_stereo=js)
+            os.replace(out + ".tmp", out)
         else:
             from atracdenc_tpu.models.atrac3p import tables as TP
             from atracdenc_tpu.models.atrac3p.encoder import encode_track
@@ -81,8 +93,9 @@ def main(argv=None):
                           for k, v in planes.items()}
             frames = np.asarray(pack_device(dev_planes, channels))
             out = os.path.join(args.out_dir, name + ".oma")
-            oma.write(out, frames, oma.CODEC_ATRAC3PLUS, TP.FRAME_BYTES,
-                      channels=channels)
+            oma.write(out + ".tmp", frames, oma.CODEC_ATRAC3PLUS,
+                      TP.FRAME_BYTES, channels=channels)
+            os.replace(out + ".tmp", out)
         print(f"{path} -> {out}")
 
     dt = time.perf_counter() - t0

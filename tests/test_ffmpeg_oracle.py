@@ -89,6 +89,26 @@ def test_at3p_gha_improves_real_decode(ffdec, tmp_path):
     assert psnr[True] > psnr[False] + 1.0, psnr
 
 
+def test_at3p_wideband_gha_real_decode(ffdec, tmp_path):
+    """Strategy B (wideband matching pursuit + closed-form PQF projection)
+    must also beat the transform-only encode through the real decoder."""
+    from atracdenc_tpu.models.atrac3p import frame as at3p_frame, tables as T
+    from atracdenc_tpu.models.atrac3p.encoder import encode_track
+    from atracdenc_tpu.containers import oma
+
+    pcm = _tonal_pcm(seconds=1.5)
+    psnr = {}
+    for mode in (False, 15):
+        planes = encode_track(pcm, use_gha=mode)
+        frames = at3p_frame.pack(planes, 2)
+        path = str(tmp_path / f"wb{mode}.oma")
+        oma.write(path, frames, oma.CODEC_ATRAC3PLUS, T.FRAME_BYTES,
+                  channels=2)
+        dec, _ = _decode(ffdec, path)
+        psnr[mode] = _psnr(pcm, dec, AT3P_DELAY, trim=4096)
+    assert psnr[15] > psnr[False] + 1.0, psnr
+
+
 def test_at3p_tone_phase_matches_our_decoder(ffdec, tmp_path):
     """Handcrafted single-tone stream: our QA decoder and ffmpeg must render
     the same waveform (signed correlation ~1 at the PQF-delay offset)."""
