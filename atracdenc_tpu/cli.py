@@ -76,12 +76,12 @@ def _split_channel_planes(planes, channels):
 
 
 def encode_atrac1(args):
-    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.io import audio
     from atracdenc_tpu.containers import aea, raw
     from atracdenc_tpu.models.atrac1 import frame as at1_frame
     from atracdenc_tpu.models.atrac1.encoder import encode_track
 
-    pcm, rate = wav.read(args.infile)
+    pcm, rate = audio.read(args.infile)
     if rate != 44100:
         sys.exit("Unsupported sample rate. Only 44100Hz is supported now")
     channels, total = pcm.shape
@@ -112,7 +112,7 @@ def encode_atrac1(args):
 
 
 def decode_atrac1(args):
-    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.io import audio
     from atracdenc_tpu.containers import aea
     from atracdenc_tpu.models.atrac1 import frame as at1_frame
     from atracdenc_tpu.models.atrac1.decoder import decode_track
@@ -125,7 +125,7 @@ def decode_atrac1(args):
     pcm = decode_track(planes)
     if length:
         pcm = pcm[:, :length]
-    wav.write(args.outfile, pcm, 44100)
+    audio.write(args.outfile, pcm, 44100)
 
 
 def encode_atrac3(args, lp4=False):

@@ -38,28 +38,8 @@ _VLC_PAIR_RTAB = jnp.asarray(T.VLC_PAIR_RTAB)
 _IOTA32 = jnp.arange(T.MAX_BFUS)
 
 
-def quant_tensors(scaled, valid_mask):
-    """Materialize per-(bfu, wordlen) quantization results.
-
-    scaled: [..., 32, 128] scaled BFU values; valid_mask [32, 128] bool.
-    Returns dict with
-      mant [..., 32, 8, 128] int32, err [..., 32, 8] (e1/e2),
-      clc  [..., 32, 8] int32 spectrum bits, vlc [..., 32, 8] int32.
-    """
-    from atracdenc_tpu.ops.quant import _round_energy
-
-    x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
-    lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
-    valid = valid_mask[:, None, :]
-    mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
-
-    # plain rounding everywhere; the EA greedy pass (sort + scan) runs only
-    # on the lanes that actually use it: bfu > 18, wordlen 1..7 — and per
-    # block-size class, so the EA rank/permute pass runs at the true block
-    # length (32/64/128) instead of the 128-padded lanes (2.9x less work,
-    # and the greedy scan shrinks with it)
-    mant, e1, e2 = _round_energy(lanes, valid, mul)
-    err = e1 / e2
+def _ea_groups():
+    """EA-region BFU runs grouped by block length: [(b, e, len), ...]."""
     ea_lo = T.LOSY_NAQ_START + 1
     groups = []
     b = ea_lo
@@ -70,12 +50,36 @@ def quant_tensors(scaled, valid_mask):
             e += 1
         groups.append((b, e, ln))
         b = e
-    for b, e, ln in groups:
-        ea_mant, ea_err = quant_blocks(
-            lanes[..., b:e, 1:, :ln], valid_mask[b:e, None, :ln],
-            mul[..., b:e, 1:], jnp.ones(mul[..., b:e, 1:].shape, bool))
-        mant = mant.at[..., b:e, 1:, :ln].set(ea_mant)
-        err = err.at[..., b:e, 1:].set(ea_err)
+    return groups
+
+
+def quant_tensors(scaled, valid_mask):
+    """Per-(bfu, wordlen) quantization COSTS (the TPU analog of TEncCache).
+
+    scaled: [..., 32, 128] scaled BFU values; valid_mask [32, 128] bool.
+    Returns dict with
+      err [..., 32, 8] (e1/e2), clc [..., 32, 8] int32 spectrum bits,
+      vlc [..., 32, 8] int32.
+
+    Mantissas are NOT materialized here (that memo was the largest tensor
+    in the whole pipeline); `final_mantissas` recomputes them for the single
+    chosen wordlen after allocation.  EA lanes contribute their VLC bit
+    cost via per-flip deltas accumulated inside the greedy scan (exact,
+    since single-symbol codes are independent); the wl==1 pair codebook is
+    not flip-additive, so that one lane still runs in mantissa mode.
+    """
+    from atracdenc_tpu.ops.quant import _round_energy
+
+    x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
+    lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
+    valid = valid_mask[:, None, :]
+    mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
+
+    # plain rounding everywhere; the EA greedy pass (rank + scan) runs only
+    # on the lanes that actually use it: bfu > 18, wordlen 1..7 — and per
+    # block-size class, so it runs at the true block length (32/64/128)
+    mant, e1, e2 = _round_energy(lanes, valid, mul)
+    err = e1 / e2
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
@@ -84,21 +88,65 @@ def quant_tensors(scaled, valid_mask):
                     _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2))
     clc = jnp.broadcast_to(clc, mant.shape[:-1]).astype(jnp.int32)
 
-    # VLC cost (atrac3_bitstream.cpp:186-220).  Table lookups are expressed
-    # as step-function arithmetic (codebook lengths are grouped runs), since
-    # TPU gathers from small tables are pathologically slow.
+    # VLC cost (atrac3_bitstream.cpp:186-220) of the PLAIN-rounded
+    # mantissas.  Table lookups are step-function arithmetic (codebook
+    # lengths are grouped runs) — TPU gathers from small tables are slow.
     vmask = valid_mask[:, :]                            # [32, 128]
     idx_single = jnp.where(mant < 0, (-mant) * 2,
                            jnp.where(mant > 0, mant * 2 - 1, 0))
     vlc_singles = []
+    bits_per_wl = []
     for w in range(_MAX_WL):
         sel = min(max(w - 1, 0), 6)
         bits = _vlc_bits_arith(idx_single[..., w, :], sel)  # [..., 32, 128]
+        bits_per_wl.append(bits)
         vlc_singles.append(jnp.sum(jnp.where(vmask, bits, 0), axis=-1))
     vlc_single = jnp.stack(vlc_singles, axis=-1)        # [..., 32, 8]
 
+    # EA pass per block-length group
+    pair1 = mant[..., 1, :]                             # wl==1 plane
+    for b, e, ln in _ea_groups():
+        sub = lanes[..., b:e, 1:, :ln]
+        subv = valid_mask[b:e, None, :ln]
+        subm = mul[..., b:e, 1:]
+        ones = jnp.ones(subm.shape, bool)
+        # wl==1 lane in mantissa mode (pair codes need the actual values)
+        ea_m1, ea_e1 = quant_blocks(sub[..., 0, :], subv[:, 0],
+                                    subm[..., 0], ones[..., 0])
+        pair1 = pair1.at[..., b:e, :ln].set(ea_m1)
+        err = err.at[..., b:e, 1].set(ea_e1)
+        # wl 2..7 lanes in cost mode with single-symbol bit deltas;
+        # per-candidate flipped mantissa (same formula as quant_blocks)
+        t = sub * subm[..., None]
+        m_old = jnp.round(t).astype(jnp.int32)
+        m_old = jnp.where(subv, m_old, 0)
+        m_up = jnp.where(m_old > 0, m_old + 1,
+                         jnp.where(m_old < 0, m_old - 1,
+                                   jnp.where(t > 0, 1, -1)))
+        m_dn = jnp.where(m_old > 0, m_old - 1,
+                         jnp.where(m_old < 0, m_old + 1, m_old))
+        # e1/e2 exactly as ops.quant._round_energy computes them (same op
+        # order incl. the reciprocal form) so the up/dn branch below always
+        # matches the one quant_blocks picks internally
+        e2g = jnp.sum(jnp.where(subv, (m_old * m_old).astype(sub.dtype),
+                                0.0), axis=-1) * (1.0 / (subm * subm))
+        e1g = jnp.sum(jnp.where(subv, sub * sub, 0.0), axis=-1)
+        up_branch = (e2g < e1g)[..., None]
+        m_new = jnp.where(up_branch, m_up, m_dn)
+        dbits = jnp.zeros(m_old.shape, jnp.int32)
+        for w in range(2, _MAX_WL):
+            sel = min(w - 1, 6)
+            d = (_vlc_bits_arith(_vlc_idx_of(m_new[..., w - 1, :]), sel)
+                 - _vlc_bits_arith(_vlc_idx_of(m_old[..., w - 1, :]), sel))
+            dbits = dbits.at[..., w - 1, :].set(d)
+        ea_err, ea_db = quant_blocks(sub[..., 1:, :], subv[:, :1],
+                                     subm[..., 1:], ones[..., 1:],
+                                     aux=dbits[..., 1:, :])
+        err = err.at[..., b:e, 2:].set(ea_err)
+        vlc_single = vlc_single.at[..., b:e, 2:].add(ea_db)
+
     # wl==1 pairs: 9-entry map (a+1)*3+(b+1) -> table-1 index, as selects
-    pairs = mant[..., 1, :].reshape(mant.shape[:-2] + (64, 2))
+    pairs = pair1.reshape(pair1.shape[:-1] + (64, 2))
     key = 3 * (pairs[..., 0] + 1) + (pairs[..., 1] + 1)
     bits_pair = sum(int(T.VLC_BITS[0, T.VLC_PAIR_RTAB[k]]) * (key == k)
                     for k in range(9))
@@ -106,10 +154,30 @@ def quant_tensors(scaled, valid_mask):
     vlc_pair = jnp.sum(jnp.where(pair_valid, bits_pair, 0), axis=-1)
 
     vlc = vlc_single.at[..., 1].set(vlc_pair).astype(jnp.int32)
-    # mantissas fit int8 (|m| <= 32); the [.., 32, 8, 128] memo is the
-    # largest live tensor, and int8 storage cuts its HBM traffic 4x
-    return {"mant": mant.astype(jnp.int8), "err": err, "clc": clc,
-            "vlc": vlc}
+    return {"err": err, "clc": clc, "vlc": vlc}
+
+
+def _vlc_idx_of(m):
+    return jnp.where(m < 0, (-m) * 2, jnp.where(m > 0, m * 2 - 1, 0))
+
+
+def final_mantissas(scaled, valid_mask, wl):
+    """Recompute mantissas for the CHOSEN wordlens only.
+
+    scaled [..., 32, 128], valid_mask [32, 128], wl [..., 32] int.
+    Returns mant [..., 32, 128] int8 — bit-identical to selecting the
+    chosen-wl lane of the old full memo (same ops at the same values).
+    """
+    from atracdenc_tpu.ops.quant import _round_energy
+
+    mul = onehot_select(jnp.broadcast_to(_MAXQ, wl.shape + (_MAX_WL,)), wl)
+    mant, _, _ = _round_energy(scaled, valid_mask, mul)
+    for b, e, ln in _ea_groups():
+        ea_m, _ = quant_blocks(scaled[..., b:e, :ln], valid_mask[b:e, :ln],
+                               mul[..., b:e],
+                               jnp.ones(mul[..., b:e].shape, bool))
+        mant = mant.at[..., b:e, :ln].set(ea_m)
+    return mant.astype(jnp.int8)
 
 
 def _vlc_bits_arith(idx, sel):

@@ -9,13 +9,25 @@ import sys
 from . import tables as T
 
 
+def _warn_clipping(planes):
+    """Aggregate of the reference's per-value scale warnings
+    (atrac_scale.cpp:150-167): |spec| > MAX_SCALE means the scaler clamped
+    and clipped mantissas for that frame."""
+    import numpy as np
+    count = np.asarray(planes.get("clip_count", 0)).sum()
+    if count:
+        mx = float(np.asarray(planes["clip_max"]).max())
+        print(f"Scale error: absSpec > MAX_SCALE, val: {mx:g} "
+              f"({int(count)} clipped spectral values)", file=sys.stderr)
+
+
 def encode_file(args, lp4=False):
-    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.io import audio
     from atracdenc_tpu.containers import oma, at3, rm, raw
     from . import frame as at3_frame
     from .encoder import encode_track
 
-    pcm, rate = wav.read(args.infile)
+    pcm, rate = audio.read(args.infile)
     if rate != 44100:
         sys.exit("Unsupported sample rate. Only 44100Hz is supported now")
     channels = pcm.shape[0]
@@ -31,10 +43,15 @@ def encode_file(args, lp4=False):
         print(f"Input file: {args.infile}\n Channels: {channels}\n "
               f"SampleRate: {rate}\n Bitrate: {bitrate}")
 
+    progress = None
+    if not args.nostdout:
+        from atracdenc_tpu.utils.progress import print_progress as progress
     planes = encode_track(pcm, frame_bytes=frame_size, js=js,
                           no_gain_control=args.nogaincontrol,
                           no_tonal=args.notonal,
-                          bfu_idx_const=args.bfuidxconst)
+                          bfu_idx_const=args.bfuidxconst,
+                          progress=progress)
+    _warn_clipping(planes)
     frames = at3_frame.pack(planes, frame_size, js=js)
 
     if getattr(args, "yaml_log", None) and not args.nogaincontrol:

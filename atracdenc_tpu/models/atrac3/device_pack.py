@@ -43,6 +43,31 @@ def _mask_sign(v, w):
         .astype(jnp.uint32)
 
 
+def _chain_merge(fields):
+    """Merge stream-ADJACENT fields [(v, w), ...] into one field.
+
+    Works for arbitrary data-dependent widths (holes included: w=0 fields
+    vanish) as long as the total width stays <= 32.  Earlier fields land in
+    the higher bits — exactly their earlier stream position under MSB-first
+    deposit.  Each merged slot costs the one-hot bit-deposit a single K row
+    instead of len(fields).
+
+    Each field's value is masked to its width here (deposit_fields requires
+    pre-masked values): a zero-width hole whose value plane holds garbage
+    (e.g. wordlens past num_bfu) must contribute NOTHING."""
+    def masked(v, w):
+        return v.astype(jnp.uint32) & ((jnp.uint32(1) << w) - 1)
+
+    v2, w = fields[0]
+    w = w.astype(jnp.int32)
+    v = masked(v2, w.astype(jnp.uint32))
+    for v2, w2 in fields[1:]:
+        w2 = w2.astype(jnp.int32)
+        v = (v << w2.astype(jnp.uint32)) | masked(v2, w2.astype(jnp.uint32))
+        w = w + w2
+    return v, w
+
+
 def _vlc_idx(m):
     return jnp.where(m < 0, -m * 2, jnp.where(m > 0, m * 2 - 1, 0))
 
@@ -194,18 +219,33 @@ def _tonal_fields(planes):
     emit(num_sg, jnp.full((n,), 5), jnp.zeros((n,)))     # count
     emit(z, jnp.where(num_sg > 0, 2, 0), jnp.full((n,), 5))  # mode = VLC
 
-    flag_w = jnp.where(sg_used[:, :, None], 1, 0) * jnp.ones((1, 1, 4),
-                                                             jnp.int32)
-    emit(band_any.astype(jnp.uint32),
-         flag_w, sg_start[:, :, None] + jnp.arange(4))
-    emit(sg_len - 1, jnp.where(sg_used, 3, 0), sg_start + 4)   # cv - 1
-    emit(sg_quant, jnp.where(sg_used, 3, 0), sg_start + 7)
+    # subgroup header: 4 band flags + (cv-1) + quant are stream-adjacent ->
+    # one 10-bit slot per subgroup
+    uw = jnp.where(sg_used, 1, 0)
+    hdr = [(band_any[:, :, b].astype(jnp.uint32), uw) for b in range(4)]
+    hdr += [((sg_len - 1).astype(jnp.uint32), 3 * uw),
+            (sg_quant.astype(jnp.uint32), 3 * uw)]
+    emit(*_chain_merge(hdr), sg_start)
     emit(cnt, cw, wstart)                                # window counts
 
-    emit(s_sfi, jnp.where(s_act, 6, 0), moff)
-    emit(s_pos - (win << 6), jnp.where(s_act, 6, 0), moff + 6)
+    # member header: sfi (6) + in-window position (6) -> one 12-bit slot
+    aw = jnp.where(s_act, 6, 0)
+    emit(*_chain_merge([(s_sfi.astype(jnp.uint32), aw),
+                        ((s_pos - (win << 6)).astype(jnp.uint32), aw)]),
+         moff)
+    # mantissa codes merged two lines per slot (<= 2x13 bits); codes of
+    # inactive lines (mbits == 0) are garbage lookups — zero them so the
+    # pair-OR below can't corrupt the active line (deposit needs pre-masked
+    # values)
+    mcode = jnp.where(mbits > 0, mcode, 0)
     mant_off = moff[:, :, None] + 12 + jnp.cumsum(mbits, -1) - mbits
-    emit(mcode, mbits, mant_off)
+    podd = [(0, 0)] * (mcode.ndim - 1) + [(0, 1)]
+    codd = jnp.pad(mcode[..., 1::2], podd).astype(jnp.uint32)
+    wodd = jnp.pad(mbits[..., 1::2], podd)
+    mpair_v = (mcode[..., 0::2].astype(jnp.uint32)
+               << wodd.astype(jnp.uint32)) | codd
+    mpair_w = mbits[..., 0::2] + wodd
+    emit(mpair_v, mpair_w, mant_off[..., 0::2])
 
     return (jnp.concatenate(vals, 1), jnp.concatenate(wids, 1),
             jnp.concatenate(offs, 1), total)
@@ -250,20 +290,21 @@ def channel_fields(planes, js1=False):
     in_band = b4[None, :] < num_qmf[:, None]             # [N, 4]
     emit_gain_v = []
     emit_gain_w = []
-    p8 = jnp.arange(8)
-    active = p8[None, None, :] < gnp[:, :, None]         # [N, 4, 8]
+    # gain points merged two-per-slot: a point is 9 bits (level<<5 | loc);
+    # active points are a prefix (p < npoints), so a pair slot holds its
+    # first cnt=clamp(np-2p, 0, 2) points in the high bits (width 9*cnt)
+    p4 = jnp.arange(4)
+    pt = ((glev << 5) | gloc).astype(jnp.uint32)         # [N, 4, 8]
+    pair_full = (pt[..., 0::2] << 9) | pt[..., 1::2]     # [N, 4, 4]
+    cnt = jnp.clip(gnp[:, :, None] - 2 * p4, 0, 2)
+    pair_v = pair_full >> (9 * (2 - cnt)).astype(jnp.uint32)
+    pair_w = 9 * cnt
     for band in range(4):
         emit_gain_v.append(jnp.where(in_band[:, band], gnp[:, band], 0)
                            [:, None])
         emit_gain_w.append(jnp.where(in_band[:, band], 3, 0)[:, None])
-        lv = jnp.where(active[:, band], glev[:, band], 0)
-        lc = jnp.where(active[:, band], gloc[:, band], 0)
-        lw = jnp.where(active[:, band], 4, 0)
-        cw_ = jnp.where(active[:, band], 5, 0)
-        inter = jnp.stack([lv, lc], -1).reshape(n, 16)
-        interw = jnp.stack([lw, cw_], -1).reshape(n, 16)
-        emit_gain_v.append(inter)
-        emit_gain_w.append(interw)
+        emit_gain_v.append(pair_v[:, band])
+        emit_gain_w.append(pair_w[:, band])
     emit(jnp.concatenate(emit_gain_v, 1), jnp.concatenate(emit_gain_w, 1))
 
     pre_v = jnp.concatenate(vals, 1)
@@ -287,8 +328,16 @@ def channel_fields(planes, js1=False):
 
     in_use = jnp.arange(32)[None, :] < num_bfu[:, None]
     used = in_use & (wl > 0)
-    emit(wl, jnp.where(in_use, 3, 0))
-    emit(jnp.where(used, sfi, 0), jnp.where(used, 6, 0))
+    wl_v = wl.astype(jnp.uint32)
+    wl_w = jnp.where(in_use, 3, 0)
+    for g in range(0, 32, 8):                     # 8 x 3b = 24 bits max
+        emit(*_chain_merge([(wl_v[:, i], wl_w[:, i])
+                            for i in range(g, g + 8)]))
+    sfi_v = jnp.where(used, sfi, 0).astype(jnp.uint32)
+    sfi_w = jnp.where(used, 6, 0)
+    for g in range(0, 32, 4):                     # 4 x 6b = 24 bits max
+        emit(*_chain_merge([(sfi_v[:, i], sfi_w[:, i])
+                            for i in range(g, g + 4)]))
 
     # spectrum planes (mirrors frame.pack_channel:198-231); all table
     # lookups are static per-wordlen step arithmetic, selected by (wl == w)
@@ -333,15 +382,29 @@ def channel_fields(planes, js1=False):
     spec_v = jnp.where(wl_gt1, jnp.where(clc_mode[:, :, None], clc_v,
                                          vcode), 0)
     spec_w = jnp.where(wl_gt1, clc_w + vlc_w, 0)
+    # unused bfus can carry wl > 1 with garbage codes at width 0 — zero the
+    # value wherever the width is 0 (pair-merge ORs values together)
+    spec_v = jnp.where(spec_w > 0, spec_v, 0)
+
+    # merged plane: slot j of bfu b covers lines (2j, 2j+1).  Two adjacent
+    # single-line codes concatenate into one <=28-bit field (first line in
+    # the high bits = earlier stream position); a wl==1 pair code occupies
+    # the same slot.  This halves the deposit slot count, and the static
+    # per-bfu trim below drops the always-empty padding lines (the K axis
+    # is what the one-hot bit-deposit pays for).
+    mv = (spec_v[:, :, 0::2] << spec_w[:, :, 1::2]) | spec_v[:, :, 1::2]
+    mw = spec_w[:, :, 0::2] + spec_w[:, :, 1::2]
     pair_clc = clc_mode[:, :, None] & (wl == 1)[:, :, None] & pair_valid
     pair_vlc = vlc_mode[:, :, None] & (wl == 1)[:, :, None] & pair_valid
-    sv64 = jnp.where(pair_clc, clcp_v,
-                     jnp.where(pair_vlc, vlcp_v, spec_v[:, :, :64]))
-    sw64 = jnp.where(pair_clc, 4, jnp.where(pair_vlc, vlcp_w,
-                                            spec_w[:, :, :64]))
-    spec_v = spec_v.at[:, :, :64].set(sv64)
-    spec_w = spec_w.at[:, :, :64].set(sw64)
-    emit(spec_v.reshape(n, -1), spec_w.reshape(n, -1))
+    mv = jnp.where(pair_clc, clcp_v, jnp.where(pair_vlc, vlcp_v, mv))
+    mw = jnp.where(pair_clc, 4, jnp.where(pair_vlc, vlcp_w, mw))
+
+    halves = [int(x) // 2 for x in np.asarray(T.SPECS_PER_BLOCK)]
+    mv_t = jnp.concatenate(
+        [mv[:, b, :h] for b, h in enumerate(halves)], axis=1)
+    mw_t = jnp.concatenate(
+        [mw[:, b, :h] for b, h in enumerate(halves)], axis=1)
+    emit(mv_t, mw_t)
 
     post_v = jnp.concatenate(vals, 1)
     post_w = jnp.concatenate(wids, 1)

@@ -24,7 +24,8 @@ from . import specblocks
 from . import tonal
 from . import gain
 from .mdct import mdct_frames, gain_divisors, first_level_scale
-from .bitalloc import quant_tensors, allocate
+from .bitalloc import quant_tensors, allocate, final_mantissas
+from .device_pack import pack_device
 
 _LOUD_CURVE = jnp.asarray(psy.create_loudness_curve(1024))
 _GATHER_IDX = jnp.asarray(T.GATHER_IDX)
@@ -86,7 +87,6 @@ def encode_frames_bytes(pcm, frame_bytes=384, js=False, no_gain_control=True,
     (device_pack.pack_device) so only final frame bytes leave the chip —
     the batch-transcode fast path (byte-identical to
     frame.pack(encode_frames(...)))."""
-    from .device_pack import pack_device
     planes, _ = encode_frames_chunk(pcm, None, None, frame_bytes, js,
                                     no_gain_control, no_tonal, bfu_idx_const)
     return pack_device(planes, frame_bytes, js)
@@ -195,6 +195,12 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
     blocks = gather_bfu_blocks(specs)                # [C, F, 32, 128]
     sfi, scaled, energy = scale_ops.scale_blocks(
         blocks, _GATHER_MASK, _SCALE_TABLE)
+    # operator feedback (atrac_scale.cpp:150-167 prints per-value warnings;
+    # the batched pipeline aggregates): |spec| > MAX_SCALE (1.0) is exactly
+    # the condition under which the reference clamps and clips
+    absb = jnp.abs(blocks)
+    clip_count = jnp.sum(absb > 1.0, axis=(-1, -2)).astype(jnp.int32)
+    clip_max = jnp.max(jnp.max(absb, -1), -1)
     spread = spread_from_sfi(sfi)
 
     # per-channel bit budget (WriteSoundUnit, atrac3_bitstream.cpp:830-892):
@@ -234,11 +240,10 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
         tonal_counts=tonal_counts, tonal_bits_fn=tonal_bits_fn,
         bfu_idx_const=bfu_idx_const)
 
-    # int8: |mantissa| <= 31, and the plane is the bulk of the host transfer;
-    # one-hot contraction instead of a small-axis gather (slow on TPU)
-    oh = jax.nn.one_hot(wl, 8, dtype=jnp.int8)
-    mant = jnp.sum(qt["mant"].astype(jnp.int8) * oh[..., None],
-                   axis=-2).astype(jnp.int8)
+    # int8: |mantissa| <= 32, and the plane is the bulk of the host transfer;
+    # recomputed at the chosen wordlen only (the full [.., 32, 8, 128] memo
+    # never materializes — quant_tensors returns costs only)
+    mant = final_mantissas(scaled, _GATHER_MASK, wl)
 
     # compact dtypes: the planes cross the device->host link
     out = {
@@ -252,6 +257,8 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
         "gain_locs": gain_locs.astype(jnp.int8),
         "loudness": loudness,
         "ms_shift": ms_shift,
+        "clip_count": clip_count,
+        "clip_max": clip_max,
     }
     if tonal_planes is not None:
         active, quant = tonal.block_quant(tonal_planes, wl, num_bfu)
@@ -273,10 +280,13 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
 
 def encode_track(pcm: np.ndarray, frame_bytes=384, js=False,
                  no_gain_control=True, no_tonal=True, bfu_idx_const=0,
-                 chunk_frames=1024):
+                 chunk_frames=1024, progress=None):
     """NumPy convenience wrapper: pads to a whole number of frames and
     encodes long tracks in exact chunks (bounded device memory; the carry
-    state makes chunked output identical to whole-track output)."""
+    state makes chunked output identical to whole-track output).
+
+    progress: optional callback(percent:int) invoked after each chunk
+    (reference progress display, main.cpp:67-74, 704)."""
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
     c, t = pcm.shape
     pad = (-t) % T.NUM_SAMPLES
@@ -289,7 +299,10 @@ def encode_track(pcm: np.ndarray, frame_bytes=384, js=False,
             jnp.asarray(pcm), frame_bytes=frame_bytes, js=js,
             no_gain_control=no_gain_control, no_tonal=no_tonal,
             bfu_idx_const=bfu_idx_const)
-        return jax.device_get(planes)
+        out = jax.device_get(planes)
+        if progress is not None:
+            progress(100)
+        return out
 
     state = None
     outs = []
@@ -305,6 +318,8 @@ def encode_track(pcm: np.ndarray, frame_bytes=384, js=False,
             no_gain_control=no_gain_control, no_tonal=no_tonal,
             bfu_idx_const=bfu_idx_const)
         outs.append(jax.device_get(planes))
+        if progress is not None:
+            progress(int(b * 100 / f_total))
     merged = {}
     for k in outs[0]:
         axis = 0 if outs[0][k].ndim == 1 else 1

@@ -97,16 +97,66 @@ def upsample(x):
     return signal.astype(x.dtype), hfr.astype(x.dtype)
 
 
+@lru_cache(maxsize=None)
+def _region_matrices():
+    """The whole upsampler is linear in x, and the gain analysis only reads
+    samples [1024, 3072) of the 4096 output — so window+rFFT+HPF+8x
+    zero-pad+irFFT collapse into ONE [512, 2048] matrix, and the hfr
+    energies into a [512, 514] quadratic-form factor (rows = h-weighted
+    Re/Im DFT of the windowed input).  MXU matmuls replace XLA's slow
+    small-FFT lowering; built once in float64.
+    """
+    win = _planck_window().astype(np.float64)
+    h = _hpf_response().astype(np.float64)
+    eye = np.diag(win)                                   # row m = win*e_m
+    spec = np.fft.rfft(eye, axis=1)                      # [512 inputs, 257]
+    y = spec * (h * _UPS)[None, :]
+    y[:, _IN_N // 2] = spec[:, _IN_N // 2].real * (_UPS * 0.5)
+    ypad = np.zeros((_IN_N, _OUT_N // 2 + 1), np.complex128)
+    ypad[:, : y.shape[1]] = y
+    sig = np.fft.irfft(ypad, n=_OUT_N, axis=1)           # [512, 4096]
+    region = sig[:, 1024:3072]                           # [512, 2048]
+
+    # energy factor: total = ||x @ E||^2, filt = ||x @ Ef||^2;
+    # bin weights: one-sided rfft power as summed by the fft path (all bins
+    # counted once — the reference upsampler sums |spec_k|^2 over k=0..256)
+    dft = np.fft.rfft(np.diag(win), axis=1)              # [512, 257]
+    E = np.concatenate([dft.real, dft.imag], axis=1)     # [512, 514]
+    Ef = E * np.concatenate([h, h])[None, :]
+    return (region.astype(np.float32), E.astype(np.float32),
+            Ef.astype(np.float32))
+
+
+def upsample_region(x):
+    """[..., 512] -> (signal region [..., 2048] = upsample(x)[1024:3072],
+    high_freq_ratio [...]) via MXU matmuls (see _region_matrices).
+
+    Numerically within ~1e-5 of the FFT path (not bit-identical — both are
+    float approximations of the same linear operator; the reference uses
+    kissfft and differs from either)."""
+    m, e_mat, ef_mat = _region_matrices()
+    m = jnp.asarray(m)
+    e_mat = jnp.asarray(e_mat)
+    ef_mat = jnp.asarray(ef_mat)
+    hp = jax.lax.Precision.HIGHEST
+    region = jnp.matmul(x, m, precision=hp)
+    sp = jnp.matmul(x, e_mat, precision=hp)
+    spf = jnp.matmul(x, ef_mat, precision=hp)
+    total = jnp.sum(sp * sp, axis=-1)
+    filt = jnp.sum(spf * spf, axis=-1)
+    hfr = jnp.where(total > 0, filt / total, 0.0)
+    return region, hfr.astype(x.dtype)
+
+
 def _rms(x):
     return jnp.sqrt(jnp.mean(x * x, axis=-1))
 
 
-def analyze_gain(signal):
-    """Upsampled analysis region -> (gain [..., 32], lo, hi quartiles).
+def analyze_gain(region):
+    """Upsampled analysis region [..., 2048] -> (gain [..., 32], lo, hi).
 
     AnalyzeGain with maxPoints=32 over [1024, 3072) plus the 8-micro-chunk
     inter-quartile estimates (transient_detector.cpp:95-136)."""
-    region = signal[..., 1024:3072]
     sub = region.reshape(region.shape[:-1] + (32, 64))
     gain = _rms(sub)
     micro = _rms(sub.reshape(sub.shape[:-1] + (8, 8)))
@@ -378,8 +428,8 @@ def gain_control(bands, ctx=None, next_head=None, debug=False):
     ], axis=-1)                                       # [C, 4, F, 512]
     up_in = jnp.swapaxes(up_in, 1, 2)                 # [C, F, 4, 512]
 
-    signal, hfr = upsample(up_in)
-    gain, lo, hi = analyze_gain(signal)
+    region, hfr = upsample_region(up_in)
+    gain, lo, hi = analyze_gain(region)
 
     valid = hfr >= HIGH_FREQ_THRESHOLD                # CalcCurve ran here
 

@@ -154,17 +154,26 @@ def regroup(run_planes):
     block_id = jnp.cumsum(new_block, axis=-1) - 1      # [..., 160]
     within = off_in_run % BLOCK_LEN
 
-    # scatter components into [..., 32, 7] via one-hot contraction
+    # scatter components into [..., 32, 7]: each (block, within) slot holds
+    # at most one component, so two chained one-hot contractions are exact
+    # in f32 HIGHEST — and never materialize the [..., 160, 32, 7] product
+    # the old single-oh formulation paid 4 full passes over
     nb = 32
-    oh = (jax.nn.one_hot(jnp.where(cvalid_f, block_id, nb), nb + 1,
-                         dtype=cval.dtype)[..., :nb][..., :, None]
-          * jax.nn.one_hot(within, BLOCK_LEN, dtype=cval.dtype)[..., None, :])
-    # oh: [..., 160, 32, 7]
-    bvals = jnp.einsum("...c,...cbj->...bj", cval, oh)
-    bcount = jnp.einsum("...c,...cbj->...bj",
-                        cvalid_f.astype(cval.dtype), oh)
-    bpos = jnp.einsum("...c,...cbj->...bj", cpos.astype(cval.dtype), oh)
-    bbfu = jnp.einsum("...c,...cbj->...bj", cbfu.astype(cval.dtype), oh)
+    ohb = jnp.where(cvalid_f[..., None],
+                    jax.nn.one_hot(block_id, nb, dtype=cval.dtype), 0.0)
+    ohj = jax.nn.one_hot(within, BLOCK_LEN, dtype=cval.dtype)
+    packed = jnp.stack([cval, cvalid_f.astype(cval.dtype),
+                        cpos.astype(cval.dtype),
+                        cbfu.astype(cval.dtype)], axis=-1)  # [..., 160, 4]
+    hp = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("...cx,...cj->...cjx", packed, ohj,
+                     precision=hp)                      # [..., 160, 7, 4]
+    out = jnp.einsum("...cjx,...cb->...bjx", tmp, ohb,
+                     precision=hp)                      # [..., 32, 7, 4]
+    bvals = out[..., 0]
+    bcount = out[..., 1]
+    bpos = out[..., 2]
+    bbfu = out[..., 3]
 
     blen = jnp.sum(bcount, axis=-1).astype(jnp.int32)
     bactive = blen > 0

@@ -8,13 +8,13 @@ import sys
 
 
 def encode_file(args):
-    from atracdenc_tpu.io import wav
+    from atracdenc_tpu.io import audio
     from atracdenc_tpu.containers import oma, at3, raw
     from . import frame as at3p_frame
     from . import tables as T
     from .encoder import encode_track
 
-    pcm, rate = wav.read(args.infile)
+    pcm, rate = audio.read(args.infile)
     if rate != 44100:
         sys.exit("Unsupported sample rate. Only 44100Hz is supported now")
     channels = pcm.shape[0]

@@ -244,6 +244,35 @@ def encode_track(pcm: np.ndarray, use_gha=True, wb_refine=False):
     return out
 
 
+def dryrun_sharded(mesh, mesh1):
+    """Driver hook: jit the AT3P core over a (dp, sp) mesh on tiny shapes
+    and assert bit-identity with single-device execution."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    s = max(2, dp)
+    t = T.NUM_SAMPLES * 2 * sp
+    rng = np.random.default_rng(2)
+    pcm = (0.25 * rng.standard_normal((s, 2, t))).astype(np.float32)
+
+    def enc(xs):
+        return jax.vmap(lambda p: _encode_core(p, gha_mask=7))(xs)
+
+    outs = {}
+    for name, m in (("sharded", mesh), ("single", mesh1)):
+        in_sh = NamedSharding(m, P("dp", None, "sp"))
+        out_sh = NamedSharding(m, P("dp"))
+        fn = jax.jit(enc, in_shardings=in_sh, out_shardings=out_sh)
+        outs[name] = jax.device_get(fn(jax.device_put(
+            jnp.asarray(pcm), in_sh)))
+    flat_a = jax.tree.leaves(outs["sharded"])
+    flat_b = jax.tree.leaves(outs["single"])
+    for a, b in zip(flat_a, flat_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "AT3P sharded != unsharded"
+
+
 def _num_tone_bands(tones):
     """[F] number of tone bands per output frame (0 = no tonal block)."""
     any_wave = tones["valid"].any(axis=-1).any(axis=0)   # [F, 8]

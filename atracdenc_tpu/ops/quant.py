@@ -36,16 +36,22 @@ def _round_energy(scaled, valid, mul):
     return mant, e1, e2
 
 
-def quant_blocks(scaled, valid, mul, ea_mask):
+def quant_blocks(scaled, valid, mul, ea_mask, aux=None):
     """Quantize padded blocks at a given multiplier, with EA where masked.
 
     scaled:  [..., L] block values in (-1, 1) (padding must be 0)
     valid:   [..., L] bool
     mul:     [...] float multiplier (MaxQuant[wordlen]); 0 -> all-zero output
     ea_mask: [...] bool — lanes using energy-adjusted rounding
+    aux:     optional [..., L] int32 per-candidate weights (e.g. VLC bit
+             deltas of a flip).  When given, the function runs in COST mode:
+             it skips materializing the adjusted mantissas (and the inverse
+             permutation) and returns (err [...], aux_sum [...]) where
+             aux_sum accumulates aux over accepted flips.
 
-    Returns (mant [..., L] int32, err [...]) where err = e1/e2 evaluated in
-    float32 exactly like the reference (inf/nan propagate the same way).
+    Without aux, returns (mant [..., L] int32, err [...]) where err = e1/e2
+    evaluated in float32 exactly like the reference (inf/nan propagate the
+    same way).
     """
     t = scaled * mul[..., None]
     mant0, e1, e2 = _round_energy(scaled, valid, mul)
@@ -106,9 +112,14 @@ def quant_blocks(scaled, valid, mul, ea_mask):
     # product is exact), then recombine
     msq = mant * mant
     nsq = m_new * m_new
-    packed = jnp.stack(
-        [msq >> 8, msq & 0xFF, nsq >> 8, nsq & 0xFF,
-         elig.astype(jnp.int32)], axis=-1).astype(jnp.bfloat16)
+    chans = [msq >> 8, msq & 0xFF, nsq >> 8, nsq & 0xFF,
+             elig.astype(jnp.int32)]
+    if aux is not None:
+        auxf = flat(aux)
+        # aux values are small signed ints (VLC bit deltas, |d| < 64);
+        # offset by 128 keeps the bf16 byte-exactness argument intact
+        chans.append(auxf + 128)
+    packed = jnp.stack(chans, axis=-1).astype(jnp.bfloat16)
     sorted_p = jnp.einsum("rkj,rjc->rkc", perm, packed,
                           preferred_element_type=jnp.float32)
     msq_s = sorted_p[..., 0] * 256.0 + sorted_p[..., 1]
@@ -129,11 +140,19 @@ def quant_blocks(scaled, valid, mul, ea_mask):
         step, e2f, (jnp.moveaxis(elig_s, -1, 0), jnp.moveaxis(a, -1, 0),
                     jnp.moveaxis(b, -1, 0)))
     accept_s = jnp.moveaxis(accept_s, 0, -1)
+    err = (e1f / e2_fin).reshape(batch_shape)
+
+    if aux is not None:
+        # cost mode: no mantissas, no inverse permutation — only the sum of
+        # aux over accepted flips (exact: the permuted slot holds aux+128,
+        # accepted slots contribute (aux_s - 128))
+        aux_s = sorted_p[..., 5] - 128.0
+        aux_sum = jnp.sum(jnp.where(accept_s, aux_s, 0.0), axis=-1)
+        return err, aux_sum.astype(jnp.int32).reshape(batch_shape)
 
     accept = jnp.einsum("rkj,rk->rj", perm,
                         accept_s.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32) > 0.5
     mant = jnp.where(accept, m_new, mant)
-    err = (e1f / e2_fin).reshape(batch_shape)
     mant = mant.reshape(batch_shape + (L,))
     return jnp.where(valid, mant, 0), err

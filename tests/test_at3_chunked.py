@@ -11,6 +11,8 @@ from atracdenc_tpu.models.atrac3 import frame as at3_frame
 from atracdenc_tpu.models.atrac3.decoder import decode_track
 from atracdenc_tpu.models.atrac3.encoder import encode_track
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def track():

@@ -15,6 +15,8 @@ from atracdenc_tpu.models.atrac3 import frame as at3_frame
 from atracdenc_tpu.models.atrac3 import tables as T
 from atracdenc_tpu.models.atrac3.encoder import encode_track
 
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 

@@ -13,6 +13,8 @@ from atracdenc_tpu.models.atrac3 import frame as at3_frame
 from atracdenc_tpu.models.atrac3.decoder import decode_track
 from atracdenc_tpu.models.atrac3.encoder import encode_track
 
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 

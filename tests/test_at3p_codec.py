@@ -19,6 +19,8 @@ from atracdenc_tpu.models.atrac3p.decoder import decode_track
 from atracdenc_tpu.models.atrac3p.encoder import encode_track
 from atracdenc_tpu.models.atrac3p.mdct import mdct_frames, imdct_frames
 
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 

@@ -83,6 +83,38 @@ def test_corrupted_aea_decodes_silently(wav_file, tmp_path):
     assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 1.0
 
 
+def test_aiff_and_au_input(tmp_path):
+    """Encoding accepts AIFF/AU input (reference reads via libsndfile
+    content auto-detect, src/pcm_io_sndfile.cpp:45-52)."""
+    from atracdenc_tpu.io import audio
+    n = np.arange(512 * 8)
+    sig = np.stack([0.5 * np.sin(2 * np.pi * 997 * n / 44100)]
+                   * 2).astype(np.float32)
+    for ext in ("aiff", "au"):
+        src = tmp_path / f"in.{ext}"
+        audio.write(str(src), sig, 44100)
+        out = tmp_path / f"o_{ext}.aea"
+        cli.main(["-e", "atrac1", "-i", str(src), "-o", str(out),
+                  "--nostdout"])
+        assert out.exists() and out.stat().st_size > 2048
+
+
+def test_decode_to_au_output(tmp_path):
+    from atracdenc_tpu.io import audio
+    n = np.arange(512 * 8)
+    sig = np.stack([0.5 * np.sin(2 * np.pi * 997 * n / 44100)]
+                   * 2).astype(np.float32)
+    src = tmp_path / "in.wav"
+    wav.write(src, sig, 44100)
+    enc = tmp_path / "o.aea"
+    cli.main(["-e", "atrac1", "-i", str(src), "-o", str(enc), "--nostdout"])
+    dec = tmp_path / "o.au"
+    cli.main(["-d", "-i", str(enc), "-o", str(dec), "--nostdout"])
+    assert dec.read_bytes()[:4] == b".snd"
+    pcm, rate = audio.read(str(dec))
+    assert rate == 44100 and np.abs(pcm).max() > 0.1
+
+
 def test_container_autoselect_from_extension(wav_file, tmp_path):
     out = tmp_path / "o.oma"
     cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(out),

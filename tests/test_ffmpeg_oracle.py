@@ -19,6 +19,8 @@ import subprocess
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(__file__)
 REPO = os.path.dirname(HERE)
 
