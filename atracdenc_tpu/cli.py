@@ -98,8 +98,12 @@ def encode_atrac1(args):
         print(f"Input file: {args.infile}\n Channels: {channels}\n "
               f"SampleRate: {rate}\n Duration (sec): {total // rate}")
 
+    progress = None
+    if not args.nostdout:
+        from atracdenc_tpu.utils.progress import print_progress as progress
     planes = encode_track(pcm, bfu_idx_const=args.bfuidxconst,
-                          window_mode=window_mode, window_mask=window_mask)
+                          window_mode=window_mode, window_mask=window_mask,
+                          progress=progress)
     frames = at1_frame.pack(_merge_channel_planes(planes))
 
     container = args.container or _container_from_ext(args.outfile, "atrac1")

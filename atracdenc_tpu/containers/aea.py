@@ -51,6 +51,7 @@ def read(path: str):
         data = fp.read()
     n = len(data) // FRAME_SIZE
     frames = np.frombuffer(data[: n * FRAME_SIZE], np.uint8).reshape(n, FRAME_SIZE)
-    # length formula from the reference (aea.cpp:98-108)
-    length = 512 * ((len(data) + META_SIZE - META_SIZE) // FRAME_SIZE // channels - 5)
+    # length formula from the reference (aea.cpp:98-108): per-channel frame
+    # count minus the 5 warm-up frames, in samples
+    length = 512 * (len(data) // FRAME_SIZE // channels - 5)
     return frames, channels, title, max(length, 0)

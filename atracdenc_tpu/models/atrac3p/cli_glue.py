@@ -8,9 +8,9 @@ import sys
 
 
 def encode_file(args):
+    import numpy as np
     from atracdenc_tpu.io import audio
     from atracdenc_tpu.containers import oma, at3, raw
-    from . import frame as at3p_frame
     from . import tables as T
     from .encoder import encode_track
 
@@ -48,8 +48,19 @@ def encode_file(args):
             print("GHA_WIDEBAND_REFINE=" + ("raw" if mode else "subband"),
                   file=sys.stderr)
 
-    planes = encode_track(pcm, use_gha=use_gha, wb_refine=wb_refine)
-    frames = at3p_frame.pack(planes, channels)
+    progress = None
+    if not args.nostdout:
+        from atracdenc_tpu.utils.progress import print_progress as progress
+    planes = encode_track(pcm, use_gha=use_gha, wb_refine=wb_refine,
+                          progress=progress)
+    # plane-wise on-device serializer (byte-identical to the host walk,
+    # tests/test_at3p_device_pack.py)
+    import jax
+    import jax.numpy as jnp
+    from .device_pack import pack_device
+    frames = np.asarray(jax.device_get(pack_device(
+        {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
+             else jnp.asarray(v)) for k, v in planes.items()}, channels)))
 
     container = args.container
     if container is None:

@@ -118,25 +118,38 @@ def _const_bits(channels):
     return bits
 
 
-@partial(jax.jit, static_argnames=("gha_mask", "wb_refine"))
-def _encode_core(pcm, gha_mask=7, wb_refine=None):
-    """gha_mask: None = GHA disabled (plain transform, equivalent to a GHA
-    pass that finds no tones); else the reference's --advanced ghadbg bitmask
-    (atrac3p.h:29-43): 1 = GHA_PASS_INPUT (code the residual input; clear ->
-    the transform path sees silence), 2 = GHA_WRITE_TONAL (tonal block on the
-    wire), 4 = GHA_WRITE_RESIUDAL (spectra on the wire), 8 = GHA_WIDEBAND
-    (strategy B; wb_refine: False = subband refine, True = raw, per
-    --advanced ghawbrefine).  Default GHA_ENABLED = 7."""
-    c, t = pcm.shape
-    f = t // T.NUM_SAMPLES
+def _core_impl(pcm, gha_mask, wb_refine, left, right, zero_tail,
+               with_history):
+    """Shared encode core over an (optionally) extended frame window.
 
-    bands = band_frames(pcm)                        # [C, F, 16, 128]
+    left/right = 0, with_history = False: the whole-track path (bit-for-bit
+    the original formulation).  left >= 2, right == 1, with_history = True:
+    a chunk window — pcm = [OVERLAP PQF history | left context frames |
+    f content frames | 1 lookahead frame]; every cross-frame coupling
+    (PQF FIR memory, GHA envelope chaining and next-frame continuation,
+    the one-frame residual delay and the MDCT stored half,
+    at3p.cpp:89-180) reaches at most 4 frames left / 1 frame right, so the
+    sliced content frames are bit-identical to a whole-track run.
+    zero_tail (last chunk): the lookahead frame's bands are forced to zero,
+    matching the whole-track zero padding past the end of the track."""
+    c = pcm.shape[0]
+    hist = pqf.OVERLAP if with_history else 0
+    t = pcm.shape[1] - hist
+    fe = t // T.NUM_SAMPLES                         # left + f + right
+    f = fe - left - right
+
+    bands_flat = pqf.analysis(pcm, with_history=with_history)
+    bands = jnp.swapaxes(bands_flat.reshape(c, 16, fe, 128), 1, 2)
+    if zero_tail and right:
+        bands = bands.at[:, fe - 1].set(0.0)        # no frame past track end
     if gha_mask is None:
         resid = bands
         tone_out = None
     else:
         if gha_mask & 8:
-            raw = pcm.reshape(c, f, T.NUM_SAMPLES)
+            raw = pcm[:, hist:].reshape(c, fe, T.NUM_SAMPLES)
+            if zero_tail and right:
+                raw = raw.at[:, fe - 1].set(0.0)
             tone_planes = gha.extract_wideband(
                 bands, raw, refine_raw=bool(wb_refine))
         else:
@@ -146,20 +159,32 @@ def _encode_core(pcm, gha_mask=7, wb_refine=None):
         if not (gha_mask & 4):
             resid = jnp.zeros_like(resid)
         if gha_mask & 2:
-            # shift to output alignment (one-frame tonal-block delay,
-            # at3p.cpp:128-131,173-177); sharing/leader are per-frame (ax 0)
+            # output alignment (one-frame tonal-block delay,
+            # at3p.cpp:128-131,173-177): out frame p carries tone frame p-1;
+            # sharing/leader are per-frame (ax 0)
             tone_out = {}
             for k, v in tone_planes.items():
                 ax = 0 if k in ("sharing", "leader") else 1
-                pad = [(0, 0)] * v.ndim
-                pad[ax] = (1, 0)
-                tone_out[k] = jnp.pad(v[(slice(None),) * ax
-                                        + (slice(None, -1),)], pad)
+                if left:
+                    sl = [slice(None)] * v.ndim
+                    sl[ax] = slice(left - 1, left + f - 1)
+                    tone_out[k] = v[tuple(sl)]
+                else:
+                    pad = [(0, 0)] * v.ndim
+                    pad[ax] = (1, 0)
+                    tone_out[k] = jnp.pad(v[(slice(None),) * ax
+                                            + (slice(None, -1),)], pad)
         else:
             tone_out = None
-    # one-frame delay: output frame f carries content frame f-1 (LOOK_AHEAD)
-    res = jnp.pad(resid[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
-    specs = mdct_frames(res * T.RESIDUAL_SCALE)     # [C, F, 2048]
+    # one-frame delay: output frame p carries content frame p-1 (LOOK_AHEAD)
+    if left:
+        # res window [left-1, left+f) plus one MDCT warm-up frame whose
+        # stored half seeds position left-1's overlap; drop its output
+        res_win = resid[:, left - 2: left + f - 1]
+        specs = mdct_frames(res_win * T.RESIDUAL_SCALE)[:, 1:]
+    else:
+        res = jnp.pad(resid[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        specs = mdct_frames(res * T.RESIDUAL_SCALE)  # [C, F, 2048]
 
     blocks = gather_qu_blocks(specs)                # [C, F, 32, 128]
     sfi, scaled, _ = scale_ops.scale_blocks(
@@ -183,31 +208,132 @@ def _encode_core(pcm, gha_mask=7, wb_refine=None):
     return sfi, mant, spec_tab, spec_bits, tone_out
 
 
-def encode_track(pcm: np.ndarray, use_gha=True, wb_refine=False):
+@partial(jax.jit, static_argnames=("gha_mask", "wb_refine"))
+def _encode_core(pcm, gha_mask=7, wb_refine=None):
+    """Whole-track core.  gha_mask: None = GHA disabled (plain transform,
+    equivalent to a GHA pass that finds no tones); else the reference's
+    --advanced ghadbg bitmask (atrac3p.h:29-43): 1 = GHA_PASS_INPUT (code
+    the residual input; clear -> the transform path sees silence), 2 =
+    GHA_WRITE_TONAL (tonal block on the wire), 4 = GHA_WRITE_RESIUDAL
+    (spectra on the wire), 8 = GHA_WIDEBAND (strategy B; wb_refine: False =
+    subband refine, True = raw, per --advanced ghawbrefine).  Default
+    GHA_ENABLED = 7."""
+    return _core_impl(pcm, gha_mask, wb_refine, 0, 0, False, False)
+
+
+CHUNK_LEFT = 4      # context frames that pin every cross-frame coupling
+CHUNK_RIGHT = 1     # lookahead frames (GHA CheckNextFrame + synth region 2)
+
+
+@partial(jax.jit, static_argnames=("gha_mask", "wb_refine", "zero_tail"))
+def _encode_core_window(pcm_ext, gha_mask=7, wb_refine=None,
+                        zero_tail=False):
+    """Chunk core: pcm_ext [C, OVERLAP + (CHUNK_LEFT+f+1)*2048] ->
+    planes for the f content frames (see _core_impl)."""
+    return _core_impl(pcm_ext, gha_mask, wb_refine, CHUNK_LEFT, CHUNK_RIGHT,
+                      zero_tail, True)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _tonal_bits_fn(channels):
+    from .device_pack import tonal_fields_device
+    return jax.jit(lambda tt: tonal_fields_device(tt, channels)[3])
+
+
+def _gha_mask_of(use_gha):
+    if use_gha is True:
+        return 7
+    if use_gha is False:
+        return None
+    return int(use_gha)
+
+
+def encode_frames_chunk(pcm, state=None, next_head=None, use_gha=True,
+                        wb_refine=False):
+    """Exact chunked encode (the AT3P analog of atrac3's
+    encode_frames_chunk): pcm [C, k*2048] content samples, state = carry
+    from the previous chunk (None at track start), next_head [C, 2048] =
+    the next chunk's first frame (None at track end).  Returns
+    (planes, state); concatenated chunk planes are bit-identical to
+    encode_track on the whole padded track (reference state carries:
+    src/atrac/at3p/at3p.cpp:89-180)."""
+    pcm = np.asarray(pcm, np.float32)
+    c = pcm.shape[0]
+    hist_len = pqf.OVERLAP + CHUNK_LEFT * T.NUM_SAMPLES
+    hist = (np.zeros((c, hist_len), np.float32) if state is None
+            else state["pcm_hist"])
+    tail = (np.zeros((c, T.NUM_SAMPLES), np.float32) if next_head is None
+            else np.asarray(next_head, np.float32))
+    ext = np.concatenate([hist, pcm, tail], axis=1)
+    core = _encode_core_window(jnp.asarray(ext),
+                               gha_mask=_gha_mask_of(use_gha),
+                               wb_refine=wb_refine,
+                               zero_tail=next_head is None)
+    planes = _finish_planes(core, c)
+    new_state = {"pcm_hist": ext[:, pcm.shape[1]: hist_len + pcm.shape[1]]}
+    return planes, new_state
+
+
+def encode_track(pcm: np.ndarray, use_gha=True, wb_refine=False,
+                 chunk_frames=512, progress=None):
     """[C, T] PCM -> ATRAC3+ frame planes (dict of numpy arrays).
 
     use_gha: True -> GHA_ENABLED (mask 7); False -> GHA disabled entirely
     (plain transform); int -> the reference's ghadbg mask (0..15, bit 3 =
-    wideband strategy B).  wb_refine selects ghawbrefine=1 (raw)."""
+    wideband strategy B).  wb_refine selects ghawbrefine=1 (raw).
+    Long tracks encode in exact chunks of chunk_frames (bounded device
+    memory); progress: optional callback(percent)."""
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
     c, t = pcm.shape
     pad = (-t) % T.NUM_SAMPLES
     if pad:
         pcm = np.pad(pcm, ((0, 0), (0, pad)))
+    f_total = pcm.shape[1] // T.NUM_SAMPLES
 
-    if use_gha is True:
-        gha_mask = 7
-    elif use_gha is False:
-        gha_mask = None
-    else:
-        gha_mask = int(use_gha)
-    sfi, mant, spec_tab, spec_bits, tone_out = _encode_core(
-        jnp.asarray(pcm), gha_mask=gha_mask, wb_refine=wb_refine)
+    if chunk_frames and f_total > chunk_frames:
+        state = None
+        outs = []
+        ns = T.NUM_SAMPLES
+        for a in range(0, f_total, chunk_frames):
+            b = min(a + chunk_frames, f_total)
+            nxt = pcm[:, b * ns: (b + 1) * ns] if b < f_total else None
+            planes, state = encode_frames_chunk(
+                pcm[:, a * ns: b * ns], state, nxt, use_gha, wb_refine)
+            outs.append(planes)
+            if progress is not None:
+                progress(int(b * 100 / f_total))
+        merged = {}
+        for k in outs[0]:
+            if k == "tones":
+                merged[k] = {tk: np.concatenate(
+                    [o[k][tk] for o in outs],
+                    axis=0 if tk in ("sharing", "leader") else 1)
+                    for tk in outs[0][k]}
+            else:
+                # num_qu is [F]; sfi/mant/spec_tab are [C, F, ...]
+                merged[k] = np.concatenate([o[k] for o in outs],
+                                           axis=0 if k == "num_qu" else 1)
+        return merged
+
+    core = _encode_core(jnp.asarray(pcm), gha_mask=_gha_mask_of(use_gha),
+                        wb_refine=wb_refine)
+    out = _finish_planes(core, c)
+    if progress is not None:
+        progress(100)
+    return out
+
+
+def _finish_planes(core, c):
+    """Host tail shared by the whole-track and chunked paths: wire ordering
+    of the tones, tonal-section bit costs, and the NumQuantUnits shrink."""
+    sfi, mant, spec_tab, spec_bits, tone_out = core
     sfi, mant, spec_tab, spec_bits = (
         np.asarray(x) for x in (sfi, mant, spec_tab, spec_bits))
     tones = None
     if tone_out is not None:
-        import jax
         tones = jax.device_get(tone_out)
         # wire order wants ascending frequencies per band
         order = np.argsort(
@@ -215,7 +341,9 @@ def encode_track(pcm: np.ndarray, use_gha=True, wb_refine=False):
         tones = {k: (np.take_along_axis(v, order, axis=-1)
                      if v.ndim == 4 else v)
                  for k, v in tones.items()}
-        tonal_bits = _tonal_section_bits(tones, c)
+        # tonal-block bits on device, plane-wise (device_pack's field
+        # widths; identical to the per-frame host walk it replaces)
+        tonal_bits = np.asarray(_tonal_bits_fn(c)(tones), np.int64)
     else:
         tonal_bits = np.zeros(sfi.shape[1], np.int64)
 

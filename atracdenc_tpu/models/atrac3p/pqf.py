@@ -61,19 +61,23 @@ def _analysis_kernel() -> np.ndarray:
     return np.asarray(k, np.float32)
 
 
-def analysis(pcm):
+def analysis(pcm, with_history=False):
     """[..., T] PCM (T multiple of 2048) -> [..., 16, T/16] band samples.
 
     Equivalent to streaming at3plus_pqf_do_analyse with zero initial overlap:
     output sample i of band sb uses input [i*16 - 368, i*16 + 16).
-    """
+
+    with_history=True: the input already carries its own OVERLAP samples of
+    real filter history as a prefix (chunked encoding); no zero padding is
+    added and the output covers the T-OVERLAP post-prefix samples."""
     kern = jnp.asarray(_analysis_kernel(), pcm.dtype)  # [16, 384]
     batch = pcm.shape[:-1]
-    t = pcm.shape[-1]
-    lhs = pcm.reshape((-1, 1, t))
+    t = pcm.shape[-1] - (OVERLAP if with_history else 0)
+    lhs = pcm.reshape((-1, 1, pcm.shape[-1]))
     rhs = kern[:, None, :]                    # [O=16, I=1, K=384]
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(16,), padding=[(OVERLAP, 0)],
+        lhs, rhs, window_strides=(16,),
+        padding=[(0 if with_history else OVERLAP, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST)
     return out.reshape(batch + (16, t // 16))

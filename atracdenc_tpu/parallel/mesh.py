@@ -87,8 +87,11 @@ def encode_batch_at3_bytes_sharded(pcm, mesh):
 
 
 def dryrun(n_devices: int) -> None:
-    """Compile + run sharded encode steps on tiny shapes (driver hook)."""
+    """Compile + run sharded encode steps on tiny shapes AND assert the
+    sharded results equal the single-device results byte-for-byte (driver
+    hook; the real mesh tests are tests/test_mesh.py)."""
     mesh = make_mesh(n_devices)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     s = max(2 * dp, dp)
@@ -97,15 +100,19 @@ def dryrun(n_devices: int) -> None:
     t = 512 * 2 * sp
     pcm = (0.25 * rng.standard_normal((s, 2, t))).astype(np.float32)
     planes = encode_batch_sharded(jnp.asarray(pcm), mesh)
-    jax.block_until_ready(planes)
+    ref = encode_batch_sharded(jnp.asarray(pcm), mesh1)
     assert planes["wordlen"].shape == (s, 2, t // 512, 52)
+    for k in ref:
+        assert np.array_equal(np.asarray(ref[k]), np.asarray(planes[k])), \
+            f"AT1 sharded != unsharded: {k}"
 
     t3 = 1024 * 2 * sp
     pcm3 = (0.25 * rng.standard_normal((s, 2, t3))).astype(np.float32)
-    planes3 = encode_batch_at3_sharded(jnp.asarray(pcm3), mesh)
-    jax.block_until_ready(planes3)
-    assert planes3["wordlen"].shape == (s, 2, t3 // 1024, 32)
-
     frames3 = encode_batch_at3_bytes_sharded(jnp.asarray(pcm3), mesh)
-    jax.block_until_ready(frames3)
+    ref3 = encode_batch_at3_bytes_sharded(jnp.asarray(pcm3), mesh1)
     assert frames3.shape == (s, t3 // 1024, 384)
+    assert np.array_equal(np.asarray(ref3), np.asarray(frames3)), \
+        "AT3 sharded bytes != unsharded bytes"
+
+    from atracdenc_tpu.models.atrac3p.encoder import dryrun_sharded as p_dry
+    p_dry(mesh, mesh1)

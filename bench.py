@@ -20,7 +20,74 @@ import time
 
 import numpy as np
 
-REF_FRAMES_PER_S = 1046.0
+REF_FRAMES_PER_S = 1046.0        # reference at3enc, 1 core (BASELINE.md)
+REF_AT1_UNITS_PER_S = 11670.0    # reference at1enc, 1 core
+REF_AT3P_FRAMES_PER_S = 930.0    # at3p_oracle (GHA-off flow), 1 core user
+                                 # time, 1024 stereo frames, 2026-08-17
+
+
+def _pipeline_rate(batched, x, n_items, iters=4):
+    """Steady-state items/s of jitted `batched` with transfer overlap."""
+    import jax
+    out = jax.device_get(batched(x))     # compile + warm
+    pending = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        nxt = batched(x)
+        if pending is not None:
+            out = jax.device_get(pending)
+        pending = nxt
+    out = jax.device_get(pending)
+    del out
+    return n_items / ((time.perf_counter() - t0) / iters)
+
+
+def _bench_at1(pcm):
+    import jax
+    import jax.numpy as jnp
+    from atracdenc_tpu.models.atrac1.encoder import encode_frames
+    from atracdenc_tpu.models.atrac1.device_pack import pack_device
+
+    s, c, t = pcm.shape
+    units = s * c * (t // 512)
+    x = jnp.asarray(pcm)
+
+    def one(p):
+        planes = encode_frames(p)
+        merged = {k: jnp.swapaxes(v, 0, 1).reshape((-1,) + v.shape[2:])
+                  for k, v in planes.items()}
+        return pack_device(merged)
+
+    batched = jax.jit(lambda xs: jax.vmap(one)(xs))
+    return _pipeline_rate(batched, x, units)
+
+
+def _bench_at3p(pcm):
+    """Full-GHA AT3P: device core + device serializer; the host tail
+    (tone ordering + numQU shrink, _finish_planes) is timed inside the
+    loop — it is part of the production path."""
+    import jax
+    import jax.numpy as jnp
+    from atracdenc_tpu.models.atrac3p import encoder as E
+    from atracdenc_tpu.models.atrac3p.device_pack import pack_device
+
+    s, c, t = pcm.shape
+    nframes = t // 2048
+    xs = [jnp.asarray(pcm[i]) for i in range(s)]
+
+    def run(x):
+        core = E._encode_core(x, gha_mask=7)
+        planes = E._finish_planes(core, c)
+        jp = {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
+                  else jnp.asarray(v)) for k, v in planes.items()}
+        return jax.device_get(pack_device(jp, c))
+
+    run(xs[0])                           # compile + warm
+    t0 = time.perf_counter()
+    for x in xs:
+        out = run(x)
+    del out
+    return s * nframes / (time.perf_counter() - t0)
 
 
 def main():
@@ -43,28 +110,25 @@ def main():
         jax.vmap(lambda p: encode_frames(
             p, frame_bytes=384, js=False,
             no_gain_control=False, no_tonal=False))(xs), 384, False))
-    frames = jax.device_get(batched(x))    # compile + warm up
-
     # steady-state pipeline: batch i+1 computes on-device while batch i's
-    # bytes transfer out; exactly `iters` computations inside the timer
-    iters = 4
-    pending = None
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        nxt = batched(x)                   # async dispatch
-        if pending is not None:
-            frames = jax.device_get(pending)   # overlaps with nxt's compute
-        pending = nxt
-    frames = jax.device_get(pending)
-    total_s = (time.perf_counter() - t0) / iters
-    assert frames.shape == (streams, nframes, 384)
+    # bytes transfer out
+    fps = _pipeline_rate(batched, x, streams * nframes)
 
-    fps = streams * nframes / total_s
+    at1_rate = _bench_at1(pcm[:8, :, :512 * 512])
+    at3p_rate = _bench_at3p(pcm[:4, :, :2048 * 128])
+
     print(json.dumps({
         "metric": "atrac3_default_encode_throughput",
         "value": round(fps, 1),
         "unit": "stereo_frames_per_s",
         "vs_baseline": round(fps / REF_FRAMES_PER_S, 2),
+        "extra": {
+            "atrac1_units_per_s": round(at1_rate, 1),
+            "atrac1_vs_baseline": round(at1_rate / REF_AT1_UNITS_PER_S, 2),
+            "at3p_gha_frames_per_s": round(at3p_rate, 1),
+            "at3p_vs_gha_off_oracle": round(
+                at3p_rate / REF_AT3P_FRAMES_PER_S, 2),
+        },
     }))
 
 

@@ -217,3 +217,68 @@ def test_at3_real_decode_quality(ffdec, tmp_path, bitrate_bps, frame_bytes,
     best = _psnr(pcm, dec, lag, trim=4096)
     floor = 26.0 if frame_bytes >= 384 else 12.0
     assert best > floor, (best, lag)
+
+
+def _music_corpus():
+    """Polyphonic / transient material the sine probes miss: chords with
+    vibrato, AM/FM sweeps, percussive bursts (VERDICT: GHA quality on
+    music-like signals; the psy gates it approximates live in
+    /root/reference/src/atrac/at3p/at3p_gha.cpp:353-367)."""
+    sr = 44100
+    t = np.arange(int(sr * 2.0))
+    rng = np.random.default_rng(7)
+
+    def chord(freqs, vib=0.0):
+        x = sum(np.sin(2 * np.pi * f * t / sr
+                       + vib * np.sin(2 * np.pi * 5.0 * t / sr))
+                for f in freqs)
+        return x / len(freqs)
+
+    corpus = {}
+    corpus["chord"] = 0.5 * chord([261.63, 329.63, 392.0, 523.25], vib=0.3)
+    f0 = 800 + 1200 * (t / t.size)                       # FM sweep
+    corpus["fm_sweep"] = 0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sr)
+    am = 0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t / sr)    # AM tremolo
+    corpus["am_tones"] = 0.4 * am * chord([987.77, 1975.5])
+    perc = 0.03 * rng.standard_normal(t.size)
+    for pos in range(2000, t.size - 4000, 11025):
+        perc[pos:pos + 2500] += (np.exp(-np.arange(2500) / 500)
+                                 * rng.standard_normal(2500) * 0.5)
+    corpus["percussive"] = perc + 0.2 * chord([440.0])
+    return {k: np.clip(np.stack([v, 0.8 * np.asarray(v)]), -1, 1)
+            .astype(np.float32) for k, v in corpus.items()}
+
+
+def test_at3p_gha_music_corpus_no_regression(ffdec, tmp_path):
+    """GHA must not DEGRADE real-decoder quality on polyphonic/transient
+    material, and the per-clip PSNRs are pinned as a regression floor
+    (recorded in BASELINE.md)."""
+    from atracdenc_tpu.models.atrac3p import tables as T
+    from atracdenc_tpu.models.atrac3p.encoder import encode_track
+    from atracdenc_tpu.models.atrac3p.device_pack import pack_device
+    from atracdenc_tpu.containers import oma
+    import jax
+    import jax.numpy as jnp
+
+    floors = {"chord": 30.0, "fm_sweep": 30.0, "am_tones": 30.0,
+              "percussive": 22.0}
+    results = {}
+    for name, pcm in _music_corpus().items():
+        psnr = {}
+        for mode, use_gha in (("off", False), ("gha", True)):
+            planes = encode_track(pcm, use_gha=use_gha)
+            jp = {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
+                      else jnp.asarray(v)) for k, v in planes.items()}
+            frames = np.asarray(jax.device_get(pack_device(jp, 2)))
+            path = str(tmp_path / f"{name}_{mode}.oma")
+            oma.write(path, frames, oma.CODEC_ATRAC3PLUS, T.FRAME_BYTES,
+                      channels=2)
+            dec, _ = _decode(ffdec, path)
+            psnr[mode] = _psnr(pcm, dec, AT3P_DELAY, trim=4096)
+        results[name] = psnr
+        # no-regression gate: GHA-on within 0.5 dB of GHA-off, and both
+        # above the pinned floor
+        assert psnr["gha"] > psnr["off"] - 0.5, (name, psnr)
+        assert psnr["off"] > floors[name], (name, psnr)
+    print("music corpus PSNR:", {k: {m: round(v, 2) for m, v in p.items()}
+                                 for k, p in results.items()})
