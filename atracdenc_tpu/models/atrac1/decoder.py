@@ -58,7 +58,14 @@ def decode_frames(short_mask, wordlen, sfi, mant):
     return jnp.clip(pcm, -1.0, 1.0)
 
 
-def decode_track(planes) -> np.ndarray:
+def decode_track(planes, exact: bool = True) -> np.ndarray:
+    """Planes -> PCM.  exact=True (default, and what the CLI uses) runs the
+    float32 bit-exact reference-semantics path (exact_synth.py, validated
+    float-for-float against the reference decoder); exact=False runs this
+    module's batched JAX formulation of the same math (within ~1e-6)."""
+    if exact:
+        from .exact_synth import decode_track_exact
+        return decode_track_exact(planes)
     return np.asarray(decode_frames(
         jnp.asarray(planes["short_mask"]), jnp.asarray(planes["wordlen"]),
         jnp.asarray(planes["sfi"]), jnp.asarray(planes["mant"])))

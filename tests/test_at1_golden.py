@@ -49,12 +49,24 @@ def golden():
     return data["pcm_in"], data["ref_decoded"], frames, ch
 
 
-def test_decode_reference_stream_matches_reference_decoder(golden):
+def test_decode_reference_stream_bit_exact(golden):
+    """The exact path (exact_synth.py) reproduces the reference decoder's
+    float32 output bit-for-bit — not a tolerance: every sample `==`."""
     _, ref_decoded, frames, ch = golden
     planes = _split_channels(at1_frame.unpack(frames), ch)
-    ours = decode_track(planes)
+    ours = decode_track(planes, exact=True)
     n = min(ours.shape[1], ref_decoded.shape[1])
-    # same integer parse, same (float) DSP -> near-identical output
+    neq = int((ours[:, :n] != ref_decoded[:, :n]).sum())
+    assert neq == 0, f"{neq} samples differ from the reference decoder"
+
+
+def test_decode_jax_path_matches_exact_path(golden):
+    """The batched JAX decoder is the TPU formulation of the same math;
+    pin it to the bit-exact path within float tolerance."""
+    _, ref_decoded, frames, ch = golden
+    planes = _split_channels(at1_frame.unpack(frames), ch)
+    ours = decode_track(planes, exact=False)
+    n = min(ours.shape[1], ref_decoded.shape[1])
     err = np.abs(ours[:, :n] - ref_decoded[:, :n]).max()
     assert err < 2e-4, f"max deviation vs reference decoder: {err}"
 
