@@ -104,6 +104,13 @@ def encode_atrac1(args):
     planes = encode_track(pcm, bfu_idx_const=args.bfuidxconst,
                           window_mode=window_mode, window_mask=window_mask,
                           progress=progress)
+    # scale-clip operator warning (atrac_scale.cpp:150-167 prints per value;
+    # the batched pipeline aggregates)
+    clip_count = int(np.asarray(planes.pop("clip_count")).sum())
+    clip_max = float(np.asarray(planes.pop("clip_max")).max())
+    if clip_count:
+        print(f"Scale error: absSpec > MAX_SCALE, max val: {clip_max:.6f} "
+              f"({clip_count} clipped spectral values)", file=sys.stderr)
     frames = at1_frame.pack(_merge_channel_planes(planes))
 
     container = args.container or _container_from_ext(args.outfile, "atrac1")

@@ -115,12 +115,18 @@ def encode_frames(pcm, bfu_idx_const=0, window_mode="auto", window_mask=0):
                                 bfu_idx_const=bfu_idx_const)
     mant = scale_ops.quant_mantissas(scaled, wordlen)
 
+    # operator feedback: |spec| > MAX_SCALE is exactly where the reference
+    # clamps + warns (atrac_scale.cpp:150-167); the batched pipeline
+    # aggregates counts instead of printing per value
+    absb = jnp.abs(blocks)
     return {
         "short_mask": masks,
         "bfu_idx": bfu_idx.astype(jnp.int32),
         "wordlen": wordlen,
         "sfi": sfi,
         "mant": mant,
+        "clip_count": jnp.sum(absb > 1.0, axis=(-1, -2)).astype(jnp.int32),
+        "clip_max": jnp.max(jnp.max(absb, -1), -1),
     }
 
 
@@ -202,12 +208,15 @@ def _encode_window(pcm_ext, loud_init, bfu_idx_const=0, window_mode="auto",
     bfu_idx, wordlen = allocate(sfi, energy, masks, loud,
                                 bfu_idx_const=bfu_idx_const)
     mant = scale_ops.quant_mantissas(scaled, wordlen)
+    absb = jnp.abs(blocks)
     planes = {
         "short_mask": masks,
         "bfu_idx": bfu_idx.astype(jnp.int32),
         "wordlen": wordlen,
         "sfi": sfi,
         "mant": mant,
+        "clip_count": jnp.sum(absb > 1.0, axis=(-1, -2)).astype(jnp.int32),
+        "clip_max": jnp.max(jnp.max(absb, -1), -1),
     }
     return planes, loud_track[-1]
 
