@@ -1,178 +1,153 @@
-"""Stage-level wall-clock profile of the ATRAC3 default-mode batch.
+"""Stage-level profiler for the ATRAC3 encode pipeline (PERF.md evidence).
 
-Times each pipeline stage as its own jitted function (same inputs as
-bench.py) so the ms budget in PERF.md is measured, not guessed.  Run on
-the real chip:  python tools/profile_at3.py [--streams 32] [--frames 256]
-Optionally dumps an xplane trace with --trace DIR.
+Times each pipeline stage as its own jitted function (block_until_ready
+around exactly one stage), plus the fused end-to-end path.  Numbers feed
+the roofline table in PERF.md.
+
+  python tools/profile_at3.py [--streams 32] [--seconds 47.5] [--iters 4]
+                              [--trace /tmp/xplane]  # jax.profiler trace
+
+Run on the TPU (default backend); one JAX job at a time on this host.
 """
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 
-
-def timeit(fn, *args, iters=8, warmup=2):
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=32)
-    ap.add_argument("--frames", type=int, default=256)
-    ap.add_argument("--trace", type=str, default=None)
-    ap.add_argument("--no-tonal", action="store_true")
-    ap.add_argument("--no-gain", action="store_true")
+    ap.add_argument("--seconds", type=float, default=47.5)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--trace", default=None)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from functools import partial
-    from atracdenc_tpu.models.atrac3 import tables as T
     from atracdenc_tpu.models.atrac3 import encoder as E
-    from atracdenc_tpu.models.atrac3 import tonal, gain
+    from atracdenc_tpu.models.atrac3 import bitalloc, tonal, gain
+    from atracdenc_tpu.models.atrac3.device_pack import pack_device
     from atracdenc_tpu.models.atrac3.mdct import (mdct_frames, gain_divisors,
                                                   first_level_scale)
-    from atracdenc_tpu.models.atrac3.bitalloc import quant_tensors, allocate
-    from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
-    from atracdenc_tpu.ops import psy, scale as scale_ops
+    from atracdenc_tpu.models.atrac3 import tables as T
 
-    S, F = args.streams, args.frames
-    t = 1024 * F
-    rng = np.random.default_rng(42)
-    n = np.arange(t, dtype=np.float64)
-    base = 0.4 * np.sin(2 * np.pi * 997.0 * n / 44100.0)
-    pcm = np.clip(base[None, None, :] * np.asarray([1.0, 0.8])[None, :, None]
-                  + 0.05 * rng.standard_normal((S, 2, t)), -1, 1
-                  ).astype(np.float32)
-    x = jnp.asarray(pcm)
-    no_tonal, no_gain = args.no_tonal, args.no_gain
+    rng = np.random.default_rng(0)
+    t = int(args.seconds * 44100) // 1024 * 1024
+    n = np.arange(t)
+    base = 0.3 * np.sin(2 * np.pi * 997 * n / 44100)
+    pcm = np.stack([base + 0.05 * rng.standard_normal(t),
+                    0.7 * base + 0.05 * rng.standard_normal(t)]
+                   ).astype(np.float32)
+    xs = jnp.asarray(np.broadcast_to(pcm, (args.streams,) + pcm.shape))
+    frames = args.streams * (t // 1024)
+    print(f"batch: {args.streams} streams x {t} samples "
+          f"({frames} stereo frames)")
 
-    # ---- full pipeline ----
-    full = jax.jit(lambda xs: pack_device_batch(
-        jax.vmap(lambda p: E.encode_frames(
-            p, frame_bytes=384, js=False,
-            no_gain_control=no_gain, no_tonal=no_tonal))(xs), 384, False))
-    t_full = timeit(full, x)
-    fps = S * F / t_full
-    print(f"full pipeline          {t_full*1e3:8.1f} ms   "
-          f"{fps:9.0f} frames/s  ({fps/1046.0:.1f}x ref)")
+    def timeit(name, fn, *a):
+        out = jax.block_until_ready(fn(*a))       # compile + warm
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(*a))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(f"{name:28s} {dt * 1e3:9.2f} ms   "
+              f"{frames / dt:12.0f} frames/s-equiv")
+        return out
 
-    # ---- stages ----
-    vm = partial(jax.vmap)
-
+    # --- stage functions (each jitted standalone) ---
     @jax.jit
-    def stage_bands(xs):
+    def st_bands(xs):
         return jax.vmap(E.band_frames)(xs)
-    bands = stage_bands(x)
-    print(f"qmf analysis           {timeit(stage_bands, x)*1e3:8.1f} ms")
-
-    state = jax.vmap(E.init_state, axis_size=S, out_axes=0)(
-    ) if False else None
-    # replicate init state across streams
-    st1 = E.init_state(2)
-    st = jax.tree.map(lambda a: jnp.broadcast_to(a, (S,) + a.shape), st1)
-    nh = jnp.zeros((S, 2, 4, 128), jnp.float32)
-
-    if not no_gain:
-        @jax.jit
-        def stage_gain(bands, st, nh):
-            return jax.vmap(lambda b, g, n_: gain.gain_control(
-                b, ctx=g, next_head=n_))(bands, st["gain"], nh)
-        glv, glc, gnp_, gctx = stage_gain(bands, st, nh)
-        print(f"gain_control           "
-              f"{timeit(stage_gain, bands, st, nh)*1e3:8.1f} ms")
-
-        @jax.jit
-        def stage_div(glv, glc, gnp_):
-            return jax.vmap(gain_divisors)(glv, glc, gnp_), \
-                   jax.vmap(first_level_scale)(glv, gnp_)
-        div, scl = stage_div(glv, glc, gnp_)
-        print(f"gain_divisors          "
-              f"{timeit(stage_div, glv, glc, gnp_)*1e3:8.1f} ms")
-
-        @jax.jit
-        def stage_es(bands, div, scl, st):
-            return jax.vmap(lambda b, d, s, p, o: gain.energy_scale(
-                b, d, s, prev_half=p, prev_overlap_init=o))(
-                bands, div, scl, st["mdct_prev"], st["next_overlap"])
-        gs, es_carry = stage_es(bands, div, scl, st)
-        print(f"energy_scale           "
-              f"{timeit(stage_es, bands, div, scl, st)*1e3:8.1f} ms")
-
-        @jax.jit
-        def stage_mdct(bands, div, scl, st):
-            return jax.vmap(lambda b, d, s, p: mdct_frames(
-                b, d, s, prev_half=p))(bands, div, scl, st["mdct_prev"])
-        specs = stage_mdct(bands, div, scl, st)
-        print(f"mdct(gain)             "
-              f"{timeit(stage_mdct, bands, div, scl, st)*1e3:8.1f} ms")
-    else:
-        gs = jnp.ones((S, 2, F, 4), jnp.float32)
-
-        @jax.jit
-        def stage_mdct(bands, st):
-            return jax.vmap(lambda b, p: mdct_frames(b, prev_half=p))(
-                bands, st["mdct_prev"])
-        specs = stage_mdct(bands, st)
-        print(f"mdct                   "
-              f"{timeit(stage_mdct, bands, st)*1e3:8.1f} ms")
-
-    if not no_tonal:
-        @jax.jit
-        def stage_tonal(specs):
-            flat = jax.vmap(tonal.flatness_per_bfu)(specs * specs)
-            sp2, tp = jax.vmap(tonal.extract)(specs, flat)
-            return sp2, jax.vmap(tonal.scale_groups)(tp)
-        specs2, tplanes = stage_tonal(specs)
-        print(f"tonal extract+groups   "
-              f"{timeit(stage_tonal, specs)*1e3:8.1f} ms")
-        specs = specs2
 
     @jax.jit
-    def stage_scale(specs):
-        blocks = jax.vmap(E.gather_bfu_blocks)(specs)
-        return scale_ops.scale_blocks(blocks, E._GATHER_MASK, E._SCALE_TABLE)
-    sfi, scaled, energy = stage_scale(specs)
-    print(f"scale_blocks           {timeit(stage_scale, specs)*1e3:8.1f} ms")
+    def st_gain(bands):
+        def one(b):
+            st = E.init_state(b.shape[0])
+            lv, lc, npts, _ = gain.gain_control(b, ctx=st["gain"],
+                                                next_head=None)
+            div = gain_divisors(lv, lc, npts)
+            sc = first_level_scale(lv, npts)
+            gsf, es = gain.energy_scale(b, div, sc,
+                                        prev_half=st["mdct_prev"],
+                                        prev_overlap_init=st["next_overlap"])
+            specs = mdct_frames(b, div, sc, prev_half=st["mdct_prev"])
+            return specs, gsf
+        return jax.vmap(one)(bands)
 
     @jax.jit
-    def stage_quant(scaled):
-        return quant_tensors(scaled, E._GATHER_MASK)
-    qt = stage_quant(scaled)
-    print(f"quant_tensors          {timeit(stage_quant, scaled)*1e3:8.1f} ms")
-
-    spread = jax.jit(E.spread_from_sfi)(sfi)
-    target = jnp.full((S, 2, F), 1400, jnp.int32)
-    loud = jnp.full((S, 2, F), 1.0, jnp.float32)
+    def st_tonal(specs):
+        def one(s):
+            flat = tonal.flatness_per_bfu(s * s)
+            s2, tp = tonal.extract(s, flat)
+            return s2, tonal.scale_groups(tp)
+        return jax.vmap(one)(specs)
 
     @jax.jit
-    def stage_alloc(qt, sfi, gs, energy, spread, loud, target):
-        return allocate(qt, sfi, gs, energy, spread, loud, target)
-    nb, mode, wl = stage_alloc(qt, sfi, gs, energy, spread, loud, target)
-    print(f"allocate               "
-          f"{timeit(stage_alloc, qt, sfi, gs, energy, spread, loud, target)*1e3:8.1f} ms")
-
-    planes = jax.jit(lambda xs: jax.vmap(lambda p: E.encode_frames(
-        p, frame_bytes=384, js=False, no_gain_control=no_gain,
-        no_tonal=no_tonal))(xs))(x)
+    def st_scale(specs):
+        from atracdenc_tpu.ops import scale as scale_ops
+        def one(s):
+            blocks = E.gather_bfu_blocks(s)
+            return scale_ops.scale_blocks(blocks, E._GATHER_MASK,
+                                          E._SCALE_TABLE)
+        return jax.vmap(one)(specs)
 
     @jax.jit
-    def stage_pack(planes):
-        return pack_device_batch(planes, 384, False)
-    _ = stage_pack(planes)
-    print(f"device_pack            {timeit(stage_pack, planes)*1e3:8.1f} ms")
+    def st_quant(scaled):
+        return jax.vmap(lambda s: bitalloc.quant_tensors(
+            s, E._GATHER_MASK))(scaled)
 
-    if args.trace:
-        with jax.profiler.trace(args.trace):
-            jax.block_until_ready(full(x))
-        print(f"trace written to {args.trace}")
+    @jax.jit
+    def st_alloc(qt, sfi, gsf, energy):
+        def one(qt, sfi, gsf, energy):
+            c, f = sfi.shape[:2]
+            spread = E.spread_from_sfi(sfi)
+            target = jnp.full((c, f), 1482, jnp.int32)
+            loud = jnp.full((c, f), 1.0, jnp.float32)
+            return bitalloc.allocate(qt, sfi, gsf, energy, spread, loud,
+                                     target)
+        return jax.vmap(one)(qt, sfi, gsf, energy)
+
+    @jax.jit
+    def st_mant(scaled, wl):
+        return jax.vmap(lambda s, w: bitalloc.final_mantissas(
+            s, E._GATHER_MASK, w))(scaled, wl)
+
+    @jax.jit
+    def st_e2e(xs):
+        return jax.vmap(lambda p: E.encode_frames_bytes(
+            p, frame_bytes=384, js=False, no_gain_control=False,
+            no_tonal=False))(xs)
+
+    ctx = jax.profiler.trace(args.trace) if args.trace else None
+    if ctx:
+        ctx.__enter__()
+
+    bands = timeit("pqf/bands", st_bands, xs)
+    specs, gsf = timeit("gain+mdct", st_gain, bands)
+    timeit("tonal", st_tonal, specs)
+    sfi, scaled, energy = timeit("scale", st_scale, specs)
+    qt = timeit("quant_tensors", st_quant, scaled)
+    nb, mode, wl = timeit("allocate(bisect)", st_alloc, qt, sfi, gsf, energy)
+    timeit("final_mantissas", st_mant, scaled, wl)
+    out = timeit("E2E fused bytes", st_e2e, xs)
+
+    # device->host transfer of the result
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(out))
+    print(f"{'bytes transfer out':28s} "
+          f"{(time.perf_counter() - t0) * 1e3:9.2f} ms")
+
+    if ctx:
+        ctx.__exit__(None, None, None)
+        print("trace written to", args.trace)
 
 
 if __name__ == "__main__":
