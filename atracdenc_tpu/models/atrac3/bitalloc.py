@@ -53,7 +53,52 @@ def _ea_groups():
     return groups
 
 
-def quant_tensors(scaled, valid_mask):
+import os
+
+_PALLAS_DEFAULT = os.environ.get("ATRACDENC_TPU_PALLAS", "0") == "1"
+
+
+def _plain_costs_xla(scaled, valid_mask):
+    """XLA formulation: broadcast to 8 wordlen lanes, reduce."""
+    from atracdenc_tpu.ops.quant import _round_energy
+
+    x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
+    lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
+    valid = valid_mask[:, None, :]
+    mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
+    mant, e1, e2 = _round_energy(lanes, valid, mul)
+    err = e1 / e2
+
+    # VLC cost (atrac3_bitstream.cpp:186-220) of the PLAIN-rounded
+    # mantissas.  Table lookups are step-function arithmetic (codebook
+    # lengths are grouped runs) — TPU gathers from small tables are slow.
+    vmask = valid_mask[:, :]                            # [32, 128]
+    idx_single = jnp.where(mant < 0, (-mant) * 2,
+                           jnp.where(mant > 0, mant * 2 - 1, 0))
+    vlc_singles = []
+    for w in range(_MAX_WL):
+        sel = min(max(w - 1, 0), 6)
+        bits = _vlc_bits_arith(idx_single[..., w, :], sel)  # [..., 32, 128]
+        vlc_singles.append(jnp.sum(jnp.where(vmask, bits, 0), axis=-1))
+    vlc_single = jnp.stack(vlc_singles, axis=-1)        # [..., 32, 8]
+    return err, vlc_single, mant[..., 1, :]
+
+
+def _plain_costs_pallas(scaled, valid_mask):
+    """Pallas formulation: each block read once, 8 lanes in VMEM
+    (ops/pallas_quant.py)."""
+    import jax.extend.backend as jxb
+    from atracdenc_tpu.ops.pallas_quant import quant_cost_plain
+
+    interpret = jxb.get_backend().platform != "tpu"
+    err, vlc_single = quant_cost_plain(scaled, interpret=interpret)
+    # wl==1 plain mantissas for the pair codebook (one cheap XLA lane)
+    t1 = scaled * _MAXQ[1]
+    pair1 = jnp.where(valid_mask, jnp.round(t1), 0.0).astype(jnp.int32)
+    return err, vlc_single, pair1
+
+
+def quant_tensors(scaled, valid_mask, use_pallas=None):
     """Per-(bfu, wordlen) quantization COSTS (the TPU analog of TEncCache).
 
     scaled: [..., 32, 128] scaled BFU values; valid_mask [32, 128] bool.
@@ -67,44 +112,30 @@ def quant_tensors(scaled, valid_mask):
     cost via per-flip deltas accumulated inside the greedy scan (exact,
     since single-symbol codes are independent); the wl==1 pair codebook is
     not flip-additive, so that one lane still runs in mantissa mode.
+
+    use_pallas: None -> ATRACDENC_TPU_PALLAS env var; True -> the fused
+    Pallas kernel for the plain costs (EA overlay identical either way).
     """
-    from atracdenc_tpu.ops.quant import _round_energy
-
-    x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
-    lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
-    valid = valid_mask[:, None, :]
-    mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
-
-    # plain rounding everywhere; the EA greedy pass (rank + scan) runs only
-    # on the lanes that actually use it: bfu > 18, wordlen 1..7 — and per
-    # block-size class, so it runs at the true block length (32/64/128)
-    mant, e1, e2 = _round_energy(lanes, valid, mul)
-    err = e1 / e2
+    if use_pallas is None:
+        use_pallas = _PALLAS_DEFAULT
+    if use_pallas:
+        err, vlc_single, pair1 = _plain_costs_pallas(scaled, valid_mask)
+    else:
+        err, vlc_single, pair1 = _plain_costs_xla(scaled, valid_mask)
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
     wl = jnp.arange(_MAX_WL)
     clc = jnp.where(wl[None, :] > 1, _CLC_LEN[wl][None, :] * _SPECS[:, None],
                     _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2))
-    clc = jnp.broadcast_to(clc, mant.shape[:-1]).astype(jnp.int32)
+    clc = jnp.broadcast_to(clc, err.shape).astype(jnp.int32)
 
-    # VLC cost (atrac3_bitstream.cpp:186-220) of the PLAIN-rounded
-    # mantissas.  Table lookups are step-function arithmetic (codebook
-    # lengths are grouped runs) — TPU gathers from small tables are slow.
-    vmask = valid_mask[:, :]                            # [32, 128]
-    idx_single = jnp.where(mant < 0, (-mant) * 2,
-                           jnp.where(mant > 0, mant * 2 - 1, 0))
-    vlc_singles = []
-    bits_per_wl = []
-    for w in range(_MAX_WL):
-        sel = min(max(w - 1, 0), 6)
-        bits = _vlc_bits_arith(idx_single[..., w, :], sel)  # [..., 32, 128]
-        bits_per_wl.append(bits)
-        vlc_singles.append(jnp.sum(jnp.where(vmask, bits, 0), axis=-1))
-    vlc_single = jnp.stack(vlc_singles, axis=-1)        # [..., 32, 8]
+    x = scaled[..., :, None, :]                        # [..., 32, 1, 128]
+    lanes = jnp.broadcast_to(x, x.shape[:-3] + (T.MAX_BFUS, _MAX_WL, 128))
+    mul = jnp.broadcast_to(_MAXQ, lanes.shape[:-1])
+    vmask = valid_mask[:, :]
 
     # EA pass per block-length group
-    pair1 = mant[..., 1, :]                             # wl==1 plane
     for b, e, ln in _ea_groups():
         sub = lanes[..., b:e, 1:, :ln]
         subv = valid_mask[b:e, None, :ln]
@@ -154,6 +185,15 @@ def quant_tensors(scaled, valid_mask):
     vlc_pair = jnp.sum(jnp.where(pair_valid, bits_pair, 0), axis=-1)
 
     vlc = vlc_single.at[..., 1].set(vlc_pair).astype(jnp.int32)
+    # Non-finite err lanes poison _energy_boost's one-hot selection of
+    # OTHER lanes (inf*0 and nan*0 are nan).  Map them to select-safe
+    # finite values that make the SAME ConsiderEnergyErr decisions as the
+    # reference's float arithmetic: NaN (wl==0: 0*inf; silent block: 0/0)
+    # -> 0 (every comparison false, like NaN), +inf (all-zero mantissas at
+    # mul>0) -> FLT_MAX (still boosts via err > 1.2).
+    err = jnp.where(jnp.isnan(err), 0.0,
+                    jnp.where(jnp.isinf(err), jnp.finfo(jnp.float32).max,
+                              err))
     return {"err": err, "clc": clc, "vlc": vlc}
 
 
