@@ -37,8 +37,15 @@ def make_mesh(n_devices=None, dp=None):
 
 
 def encode_batch(pcm):
-    """[S, C, T] PCM batch -> ATRAC1 frame planes, batched over streams."""
-    return jax.vmap(lambda p: encode_frames(p))(pcm)
+    """[S, C, T] PCM batch -> ATRAC1 frame planes, batched over streams.
+
+    The clip_* operator diagnostics are dropped: they expose RAW float
+    maxima, and XLA's spatially-partitioned convolutions differ by ~1 ulp
+    at shard-boundary frames — real but meaningless here, while every
+    wire plane stays bit-identical (tests/test_mesh.py pins that)."""
+    planes = jax.vmap(lambda p: encode_frames(p))(pcm)
+    return {k: v for k, v in planes.items()
+            if k not in ("clip_count", "clip_max")}
 
 
 def encode_batch_sharded(pcm, mesh):
