@@ -52,6 +52,10 @@ def build_parser():
     p.add_argument("--notonal", action="store_true")
     p.add_argument("--nogaincontrol", action="store_true")
     p.add_argument("--advanced", default="")
+    p.add_argument("--exact", action="store_true",
+                   help="ATRAC1 encode only: reference-float-semantics path "
+                        "(byte-identical to the reference binary; slower "
+                        "than the TPU path)")
     p.add_argument("--yaml-log", dest="yaml_log")
     return p
 
@@ -101,16 +105,23 @@ def encode_atrac1(args):
     progress = None
     if not args.nostdout:
         from atracdenc_tpu.utils.progress import print_progress as progress
-    planes = encode_track(pcm, bfu_idx_const=args.bfuidxconst,
-                          window_mode=window_mode, window_mask=window_mask,
-                          progress=progress)
-    # scale-clip operator warning (atrac_scale.cpp:150-167 prints per value;
-    # the batched pipeline aggregates)
-    clip_count = int(np.asarray(planes.pop("clip_count")).sum())
-    clip_max = float(np.asarray(planes.pop("clip_max")).max())
-    if clip_count:
-        print(f"Scale error: absSpec > MAX_SCALE, max val: {clip_max:.6f} "
-              f"({clip_count} clipped spectral values)", file=sys.stderr)
+    if args.exact:
+        from atracdenc_tpu.models.atrac1.exact_enc import encode_track_exact
+        planes = encode_track_exact(pcm, bfu_idx_const=args.bfuidxconst,
+                                    window_mode=window_mode,
+                                    window_mask=window_mask)
+    else:
+        planes = encode_track(pcm, bfu_idx_const=args.bfuidxconst,
+                              window_mode=window_mode,
+                              window_mask=window_mask, progress=progress)
+        # scale-clip operator warning (atrac_scale.cpp:150-167 prints per
+        # value; the batched pipeline aggregates)
+        clip_count = int(np.asarray(planes.pop("clip_count")).sum())
+        clip_max = float(np.asarray(planes.pop("clip_max")).max())
+        if clip_count:
+            print(f"Scale error: absSpec > MAX_SCALE, max val: "
+                  f"{clip_max:.6f} ({clip_count} clipped spectral values)",
+                  file=sys.stderr)
     frames = at1_frame.pack(_merge_channel_planes(planes))
 
     container = args.container or _container_from_ext(args.outfile, "atrac1")
