@@ -108,12 +108,16 @@ def _kf_perm(n, facs):
 
 
 class _KissFFT:
-    """Forward complex FFT, bit-exact to kiss_fft (scalar float build)."""
+    """Complex FFT, bit-exact to kiss_fft (scalar float build); forward or
+    inverse per kiss_fft_alloc's `inverse_fft`."""
 
-    def __init__(self, n):
+    def __init__(self, n, inverse=False):
         self.n = n
+        self.inverse = inverse
         i = np.arange(n, dtype=np.float64)
         phase = -2.0 * np.pi * i / n          # kiss_fft.c:358-362 (double)
+        if inverse:
+            phase = -phase
         self.twr = _libm_cos(phase).astype(f32)
         self.twi = _libm_sin(phase).astype(f32)
         facs = _kf_factor(n)
@@ -158,10 +162,16 @@ class _KissFFT:
                 Fi[..., 2, :] = f0i - s3i
                 Fr[..., 0, :] = f0r + s3r
                 Fi[..., 0, :] = f0i + s3i
-                Fr[..., 1, :] = s5r + s4i
-                Fi[..., 1, :] = s5i - s4r
-                Fr[..., 3, :] = s5r - s4i
-                Fi[..., 3, :] = s5i + s4r
+                if self.inverse:              # kiss_fft.c:77-81
+                    Fr[..., 1, :] = s5r - s4i
+                    Fi[..., 1, :] = s5i + s4r
+                    Fr[..., 3, :] = s5r + s4i
+                    Fi[..., 3, :] = s5i - s4r
+                else:
+                    Fr[..., 1, :] = s5r + s4i
+                    Fi[..., 1, :] = s5i - s4r
+                    Fr[..., 3, :] = s5r - s4i
+                    Fi[..., 3, :] = s5i + s4r
             elif p == 2:
                 # kf_bfly2 (kiss_fft.c:21-42)
                 tr, ti = _cmul(Fr[..., 1, :], Fi[..., 1, :],

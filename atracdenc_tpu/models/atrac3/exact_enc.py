@@ -585,6 +585,63 @@ def _mdct_frames(bands):
     return specs
 
 
+def _gain_mdct(bands_ext, nf):
+    """Gain-controlled frontend over the whole track (atrac3denc.cpp
+    GetLambda channel loop): per (frame, channel) CreateSubbandInfo,
+    CalcGainEnergyScale, gain-modulated MDCT with windowed-overlap chain.
+
+    bands_ext [C, F+1, 4, 256] (the +1 row is the drain-call lookahead).
+    Returns (specs [C, F, 1024], frame_scales [C, F, 4],
+    curves_all [C][F][4] point lists)."""
+    from . import exact_gain as G
+
+    c = bands_ext.shape[0]
+    specs = np.empty((c, nf, 1024), f32)
+    frame_scales = np.ones((c, nf, 4), f32)
+    curves_all = [[None] * nf for _ in range(c)]
+    prev_win = np.zeros((c, 4, 256), f32)            # stored windowed halves
+    prev_scale = np.ones((c, 4), f32)                # PrevOverlapGainScale
+    ctxs = [[G.CurveCtx() for _ in range(4)] for _ in range(c)]
+    w = _ENC_WINDOW
+
+    for fi in range(nf):
+        for ci in range(c):
+            # LookAheadBuf window per band: [prev128 | cur256 | next128]
+            ups = []
+            for band in range(4):
+                prev_tail = (bands_ext[ci, fi - 1, band, 128:] if fi > 0
+                             else np.zeros(128, f32))
+                nxt = bands_ext[ci, fi + 1, band, :128]
+                ups.append(np.concatenate(
+                    [prev_tail, bands_ext[ci, fi, band], nxt]))
+            curves = G.create_subband_info(ups, None, None, ctxs[ci])
+            curves_all[ci][fi] = curves
+
+            spec_frame = np.empty(1024, f32)
+            for band in range(4):
+                pts = curves[band]
+                cur = bands_ext[ci, fi, band].copy()
+                # energy scales BEFORE modulation (atrac3denc.cpp:795-801)
+                ps, cs, fs, ns = G.calc_gain_energy_scale(
+                    prev_win[ci, band], cur, pts, prev_scale[ci, band], w)
+                frame_scales[ci, fi, band] = fs
+                prev_scale[ci, band] = ns
+                # MDCT with in-place modulation (atrac3denc.cpp:33-58)
+                tmp = np.empty(512, f32)
+                tmp[:256] = prev_win[ci, band]
+                if pts:
+                    G.modulate(tmp[:256], cur, pts)
+                first = (w[:256] * cur).astype(f32)
+                tmp[256:] = (w[255::-1] * cur).astype(f32)
+                prev_win[ci, band] = first
+                sp = _MDCT512(tmp)
+                if band & 1:
+                    sp = sp[::-1]
+                spec_frame[band * 256: (band + 1) * 256] = sp
+            specs[ci, fi] = spec_frame
+    return specs, frame_scales, curves_all
+
+
 def _scale_frame(spec):
     """spec [1024] -> (sfi [32], vals list, energy [32]) — TScaler::Scale
     per BFU (long windows only on AT3)."""
@@ -618,9 +675,10 @@ def _scale_frame(spec):
 
 
 def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
-                       no_tonal=True):
-    """[C, T] PCM -> AT3 planes (no gain control; tonal optional),
-    byte-exact to the reference when packed by frame.pack."""
+                       no_tonal=True, no_gain=True):
+    """[C, T] PCM -> AT3 planes, byte-exact to the reference when packed
+    by frame.pack.  no_gain=False enables the gain-control layer
+    (exact_gain.py)."""
     pcm = np.atleast_2d(np.asarray(pcm, f32))
     c, t = pcm.shape
     pad = (-t) % 1024
@@ -629,19 +687,34 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
     nf = pcm.shape[1] // 1024
     pcm4 = (pcm / f32(4.0)).astype(f32)
 
-    bands = _analysis_tree(pcm4)
-    specs = _mdct_frames(bands)
+    if no_gain:
+        bands = _analysis_tree(pcm4)
+        specs = _mdct_frames(bands)
+        frame_scales = np.ones((c, nf, 4), f32)
+        curves_all = [[[] for _ in range(4)] for _ in range(c * nf)]
+    else:
+        # The reference engine's drain call re-runs the QMF on the STALE
+        # first buffer step (pcmengin.h:152-190 with a 4096-sample buffer
+        # and TRawFloatReader returning false at EOF): the LAST frame's
+        # lookahead input is input frame F-4 (F % 4 == 0 corpora), pushed
+        # through the live filter state after frame F-1.
+        if nf % 4 == 0 and nf >= 4:
+            stale = pcm4[:, (nf - 4) * 1024: (nf - 3) * 1024]
+        else:
+            stale = np.zeros((c, 1024), f32)
+        ext = np.concatenate([pcm4, stale], axis=1)
+        bands_ext = _analysis_tree(ext)              # [C, F+1, 4, 256]
+        bands = bands_ext[:, :nf]
+        specs, frame_scales, curves_all = _gain_mdct(bands_ext, nf)
 
-    # loudness: Frame gain scale == 1.0 in plain mode
+    # loudness with the per-band Frame gain scale (atrac3denc.cpp:817-827)
     loud_frames = np.zeros((c, nf), f32)
     for i in range(1024):
         e = specs[:, :, i] * specs[:, :, i]
-        loud_frames = loud_frames + (e * f32(1.0)) * _LOUD_CURVE[i]
+        loud_frames = loud_frames + ((e * frame_scales[:, :, i // 256])
+                                     * _LOUD_CURVE[i])
 
     half = frame_bytes // 2
-    # per-channel header: 6-bit id + 2-bit numQmfBand + 4 empty gain lists
-    # (3 bits each) = 20 bits; bitsToAlloc = 8*half - 6 - 20
-    target = 8 * half - 6 - (6 + 2 + 4 * 3)
 
     num_bfu = np.zeros((c, nf), np.int32)
     mode_out = np.zeros((c, nf), bool)
@@ -654,8 +727,10 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
     t_sfi = np.zeros((c, nf, 32), np.int32)
     t_quant = np.zeros((c, nf, 32), np.int32)
     t_mant = np.zeros((c, nf, 32, 8), np.int32)
+    gain_npoints_out = np.zeros((c, nf, 4), np.int32)
+    gain_levels_out = np.zeros((c, nf, 4, 8), np.int32)
+    gain_locs_out = np.zeros((c, nf, 4, 8), np.int32)
     loudness_state = f32(0.006)                      # TAtrac3Data::LoudFactor
-    gain_scale = np.ones(4, f32)
 
     for fi in range(nf):
         if c == 2:
@@ -680,10 +755,20 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
                 tonal_bfus = [blk["bfu"] for blk in blocks]
                 cost_fn = lambda alloc: _tonal_bits(blocks, alloc)
             sfi, vals, energy = _scale_frame(spec)
+            # per-channel bit budget: 6 (id) + 2 (numQmfBand) + gain lists
+            # (atrac3_bitstream.cpp:768-810)
+            curves = curves_all[ci][fi]
+            header = 6 + 2 + sum(3 + 9 * len(curves[b]) for b in range(4))
+            target = 8 * half - 6 - header
             nb, mode, wl, mants = _allocate_channel(
-                sfi, vals, energy, target, loud, gain_scale,
+                sfi, vals, energy, target, loud, frame_scales[ci, fi],
                 tonal_bfus=tonal_bfus, tonal_cost_fn=cost_fn,
                 bfu_idx_const=bfu_idx_const)
+            for band in range(4):
+                for p, (lev, loc) in enumerate(curves[band]):
+                    gain_levels_out[ci, fi, band, p] = lev
+                    gain_locs_out[ci, fi, band, p] = loc
+                gain_npoints_out[ci, fi, band] = len(curves[band])
             num_bfu[ci, fi] = nb
             mode_out[ci, fi] = bool(mode)
             wordlen[ci, fi] = wl
@@ -714,9 +799,9 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
         "wordlen": wordlen.astype(np.int8),
         "sfi": sfi_out.astype(np.int8),
         "mant": mant_out.astype(np.int8),
-        "gain_npoints": np.zeros((c, nf, 4), np.int8),
-        "gain_levels": np.zeros((c, nf, 4, 8), np.int8),
-        "gain_locs": np.zeros((c, nf, 4, 8), np.int8),
+        "gain_npoints": gain_npoints_out.astype(np.int8),
+        "gain_levels": gain_levels_out.astype(np.int8),
+        "gain_locs": gain_locs_out.astype(np.int8),
         "loudness": np.zeros((nf,), f32),
         "ms_shift": np.zeros((nf,), np.int32),
     }
