@@ -135,8 +135,18 @@ _ATH = _at3_ath()
 # QuantMantisas — exact EA rounding (atrac_scale.cpp:40-130)
 # ---------------------------------------------------------------------------
 
+def _err_div(e1, e2):
+    with np.errstate(divide="ignore"):
+        return f32(e1 / e2)
+
+
 def quant_mantissas_exact(vals, mul, ea):
-    """vals [L] f32 (scaled block values) -> (mant int64[L], err f32)."""
+    """vals [L] f32 (scaled block values) -> (mant int64[L], err f32).
+
+    e1/e2 with e2 == 0 yields inf on purpose — the reference computes the
+    same float division (atrac_scale.cpp QuantMantisas) and the inf err is
+    part of the decision chain the goldens pin.
+    """
     L = len(vals)
     mant = np.zeros(L, np.int64)
     e1 = f32(0.0)
@@ -148,7 +158,7 @@ def quant_mantissas_exact(vals, mul, ea):
             e1 = f32(e1 + f32(vals[j] * vals[j]))
             mant[j] = int(np.rint(t_all[j]))
             e2 = f32(e2 + f32(f32(mant[j] * mant[j]) * inv2))
-        return mant, f32(e1 / e2)
+        return mant, _err_div(e1, e2)
 
     candidates = []
     for j in range(L):
@@ -160,7 +170,7 @@ def quant_mantissas_exact(vals, mul, ea):
         if abs(delta) < 0.25:
             candidates.append((abs(delta), j))
     if not candidates:
-        return mant, f32(e1 / e2)
+        return mant, _err_div(e1, e2)
     # std::sort by |delta| (ties: unspecified order; libstdc++ keeps
     # insertion order for the sizes seen here — pinned by the golden tests)
     candidates.sort(key=lambda p: p[0])
@@ -194,7 +204,7 @@ def quant_mantissas_exact(vals, mul, ea):
                 if abs(f32(ex - e1)) < abs(f32(e2 - e1)):
                     mant[j] = m
                     e2 = ex
-    return mant, f32(e1 / e2)
+    return mant, _err_div(e1, e2)
 
 
 def _clc_bits(wl, block_size):
@@ -675,10 +685,12 @@ def _scale_frame(spec):
 
 
 def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
-                       no_tonal=True, no_gain=True):
+                       no_tonal=True, no_gain=True, js=False):
     """[C, T] PCM -> AT3 planes, byte-exact to the reference when packed
     by frame.pack.  no_gain=False enables the gain-control layer
-    (exact_gain.py)."""
+    (exact_gain.py); js enables joint stereo (M/S band matrixing +
+    byte-budget shift, atrac3denc.cpp:665-677, atrac3_bitstream.cpp
+    CalcMSBytesShift)."""
     pcm = np.atleast_2d(np.asarray(pcm, f32))
     c, t = pcm.shape
     pad = (-t) % 1024
@@ -686,12 +698,17 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
         pcm = np.pad(pcm, ((0, 0), (0, pad)))
     nf = pcm.shape[1] // 1024
     pcm4 = (pcm / f32(4.0)).astype(f32)
+    js_stereo = js and c == 2
 
     if no_gain:
         bands = _analysis_tree(pcm4)
+        if js_stereo:
+            bands = np.stack([((bands[0] + bands[1]) * f32(0.5)),
+                              ((bands[0] - bands[1]) * f32(0.5))])
         specs = _mdct_frames(bands)
         frame_scales = np.ones((c, nf, 4), f32)
-        curves_all = [[[] for _ in range(4)] for _ in range(c * nf)]
+        curves_all = [[[[] for _ in range(4)] for _ in range(nf)]
+                      for _ in range(c)]
     else:
         # The reference engine's drain call re-runs the QMF on the STALE
         # first buffer step (pcmengin.h:152-190 with a 4096-sample buffer
@@ -704,7 +721,12 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
             stale = np.zeros((c, 1024), f32)
         ext = np.concatenate([pcm4, stale], axis=1)
         bands_ext = _analysis_tree(ext)              # [C, F+1, 4, 256]
-        bands = bands_ext[:, :nf]
+        if js_stereo:
+            # Matrixing at band level (atrac3denc.cpp:665-677); the gain
+            # analysis windows use the same M/S samples (jsGainInput)
+            bands_ext = np.stack(
+                [((bands_ext[0] + bands_ext[1]) * f32(0.5)),
+                 ((bands_ext[0] - bands_ext[1]) * f32(0.5))])
         specs, frame_scales, curves_all = _gain_mdct(bands_ext, nf)
 
     # loudness with the per-band Frame gain scale (atrac3denc.cpp:817-827)
@@ -732,15 +754,46 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
     gain_locs_out = np.zeros((c, nf, 4, 8), np.int32)
     loudness_state = f32(0.006)                      # TAtrac3Data::LoudFactor
 
+    ms_shift_out = np.zeros((nf,), np.int32)
     for fi in range(nf):
-        if c == 2:
+        if c == 2 and not js:
             s = f32(loud_frames[0, fi] + loud_frames[1, fi])
             loudness_state = f32(0.98 * np.float64(loudness_state)
                                  + 0.01 * np.float64(s))
         else:
+            # 1 channel, or JS (side channel not used; atrac3denc.cpp:832)
             loudness_state = f32(0.98 * np.float64(loudness_state)
                                  + 0.02 * np.float64(loud_frames[0, fi]))
         loud = f32(loudness_state / f32(0.006))
+
+        if js:
+            # per-channel budgets with the M/S byte shift
+            # (atrac3_bitstream.cpp:759-812, CalcMSBytesShift)
+            h = []
+            for ci in range(2):
+                if ci < c:
+                    curves = curves_all[ci][fi]
+                    gain_bits = sum(3 + 9 * len(curves[b]) for b in range(4))
+                    nqmf = 4
+                else:
+                    gain_bits = 3                    # 1 empty band list
+                    nqmf = 1
+                ident = 14 if ci == 1 else 6        # WriteJsParams + 2 | 0x28
+                h.append(ident + 2 + gain_bits)
+            total_used = 12 + h[0] + h[1]
+            max_shift = half - (total_used + 7) // 8
+            if c == 1:
+                shift = max_shift
+            else:
+                m_l, s_l = loud_frames[0, fi], loud_frames[1, fi]
+                total = f32(s_l + m_l)
+                ratio = (f32(np.float64(f32(m_l / total)) - 0.5)
+                         if total > 0 else f32(0.0))
+                shift = int(np.rint(f32(frame_bytes * ratio)))
+                shift = max(min(shift, max_shift), -max_shift)
+            ms_shift_out[fi] = shift
+            targets = [max(1, -6 - h[0] + 8 * (half + shift)),
+                       max(1, -6 - h[1] + 8 * (half - shift))]
         for ci in range(c):
             spec = specs[ci, fi].copy()
             if no_tonal:
@@ -758,8 +811,12 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
             # per-channel bit budget: 6 (id) + 2 (numQmfBand) + gain lists
             # (atrac3_bitstream.cpp:768-810)
             curves = curves_all[ci][fi]
-            header = 6 + 2 + sum(3 + 9 * len(curves[b]) for b in range(4))
-            target = 8 * half - 6 - header
+            if js:
+                target = targets[ci]
+            else:
+                header = (6 + 2
+                          + sum(3 + 9 * len(curves[b]) for b in range(4)))
+                target = 8 * half - 6 - header
             nb, mode, wl, mants = _allocate_channel(
                 sfi, vals, energy, target, loud, frame_scales[ci, fi],
                 tonal_bfus=tonal_bfus, tonal_cost_fn=cost_fn,
@@ -803,7 +860,7 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
         "gain_levels": gain_levels_out.astype(np.int8),
         "gain_locs": gain_locs_out.astype(np.int8),
         "loudness": np.zeros((nf,), f32),
-        "ms_shift": np.zeros((nf,), np.int32),
+        "ms_shift": ms_shift_out,
     }
     if not no_tonal:
         out.update({
