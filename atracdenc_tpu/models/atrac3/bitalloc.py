@@ -244,6 +244,23 @@ def onehot_select(table, idx):
     return jnp.sum(table * oh, axis=-1)
 
 
+def csfi_gated(sfi, gain_scale_frame, energy, loudness):
+    """Lambda-independent allocation inputs: the gain-energy-corrected SFI
+    (csfi) and the ATH x loudness gate (atrac3_bitstream.cpp:343-371).
+    Shared by the XLA and Pallas rate-control paths — the log2 here is the
+    ONLY transcendental in the chain, so precomputing it keeps the Pallas
+    kernel bit-identical to this path."""
+    band_oh = jnp.asarray(
+        np.eye(4, dtype=np.float32)[T.BFU_TO_BAND].T)   # [4, 32] static
+    gs = jnp.einsum("...b,bk->...k", gain_scale_frame, band_oh)
+    gs = jnp.where(jnp.isfinite(gs) & (gs > 0), gs, 1.0)
+
+    corrected_energy = energy * gs
+    gated = corrected_energy < _ATH * loudness[..., None]
+    csfi = jnp.clip(sfi.astype(jnp.float32) + 1.5 * jnp.log2(gs), 0.0, 63.0)
+    return csfi, gated
+
+
 def calc_bits_allocation(sfi, gain_scale_frame, energy, spread, shift,
                          num_bfu, loudness, tonal_bfu_counts):
     """Vectorized CalcBitsAllocation (atrac3_bitstream.cpp:343-407).
@@ -254,15 +271,7 @@ def calc_bits_allocation(sfi, gain_scale_frame, energy, spread, shift,
     Returns wordlens [..., 32] int32 (zero beyond num_bfu).
     """
     in_use = _IOTA32 < num_bfu[..., None]
-    band_oh = jnp.asarray(
-        np.eye(4, dtype=np.float32)[T.BFU_TO_BAND].T)   # [4, 32] static
-    gs = jnp.einsum("...b,bk->...k", gain_scale_frame, band_oh)
-    gs = jnp.where(jnp.isfinite(gs) & (gs > 0), gs, 1.0)
-
-    corrected_energy = energy * gs
-    gated = corrected_energy < _ATH * loudness[..., None]
-
-    csfi = jnp.clip(sfi.astype(jnp.float32) + 1.5 * jnp.log2(gs), 0.0, 63.0)
+    csfi, gated = csfi_gated(sfi, gain_scale_frame, energy, loudness)
     tmp = jnp.trunc(spread[..., None] * (csfi / _XDIV)
                     + (1.0 - spread[..., None]) * _FIX - shift[..., None])
     wl = jnp.where(tmp > 7, 7,
@@ -351,7 +360,7 @@ def _bisect(sfi, gain_scale, energy, spread, num_bfu, loudness,
 
 def allocate(qt, sfi, gain_scale, energy, spread, loudness,
              target_bits, tonal_counts=None, tonal_bits_fn=None,
-             bfu_idx_const=0):
+             bfu_idx_const=0, tonal_planes=None, use_pallas=None):
     """Full rate control for a batch of channel-frames.
 
     qt: precomputed quant tensors (see quant_tensors).
@@ -360,8 +369,15 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
     target_bits [...] int32.
     tonal_bits_fn(wl) -> [...] tonal section cost for an allocation
     (defaults to the constant 5-bit empty-tonal header).
+    tonal_planes: the raw tonal block planes (tonal.scale_groups output) —
+    required by the Pallas path, which computes the tonal dry-run cost
+    in-kernel instead of through the tonal_bits_fn closure.
+    use_pallas: None -> ATRACDENC_TPU_PALLAS env; True -> run the whole
+    bisection in the fused VMEM kernel (ops/pallas_alloc.py).
     Returns (num_bfu [...], coding_mode [...] bool (1=CLC), wordlen [..., 32]).
     """
+    if use_pallas is None:
+        use_pallas = _PALLAS_DEFAULT
     if tonal_counts is None:
         tonal_counts = jnp.zeros(sfi.shape, jnp.int32)
     if tonal_bits_fn is None:
@@ -375,9 +391,36 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
                         jnp.asarray(init)).astype(jnp.int32)
     num_bfu = jnp.maximum(num_bfu, 1)
 
+    if use_pallas:
+        import jax.extend.backend as jxb
+        from atracdenc_tpu.ops.pallas_alloc import bisect_block
+
+        interpret = jxb.get_backend().platform != "tpu"
+        csfi, gated = csfi_gated(sfi, gain_scale, energy, loudness)
+        if tonal_planes is None:
+            z32 = jnp.zeros(sfi.shape, jnp.int32)
+            t_active = t_pos = t_len = t_bfu = z32
+            t_vlc = jnp.zeros(sfi.shape + (_MAX_WL,), jnp.int32)
+        else:
+            t_active = tonal_planes["active"].astype(jnp.int32)
+            t_pos = tonal_planes["start"].astype(jnp.int32)
+            t_len = tonal_planes["len"].astype(jnp.int32)
+            t_bfu = tonal_planes["bfu"].astype(jnp.int32)
+            t_vlc = tonal_planes["vlc_cost"].astype(jnp.int32)
+
+        def run_bisect(num_bfu):
+            return bisect_block(csfi, gated, tonal_counts, spread,
+                                target_bits, num_bfu, qt["err"], qt["clc"],
+                                qt["vlc"], t_active, t_pos, t_len, t_bfu,
+                                t_vlc, interpret=interpret)
+    else:
+        def run_bisect(num_bfu):
+            return _bisect(sfi, gain_scale, energy, spread, num_bfu,
+                           loudness, tonal_counts, tonal_bits_fn, qt,
+                           target_bits)
+
     def one_round(num_bfu):
-        wl = _bisect(sfi, gain_scale, energy, spread, num_bfu, loudness,
-                     tonal_counts, tonal_bits_fn, qt, target_bits)
+        wl = run_bisect(num_bfu)
         last = jnp.take_along_axis(wl, (num_bfu - 1)[..., None],
                                    axis=-1)[..., 0]
         shrink = (last == 0) & (num_bfu > 1) & (bfu_idx_const == 0)

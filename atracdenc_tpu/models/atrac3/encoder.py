@@ -238,7 +238,7 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
         qt, sfi, gain_scale_frame, energy, spread,
         jnp.broadcast_to(loudness, (c, f)), target,
         tonal_counts=tonal_counts, tonal_bits_fn=tonal_bits_fn,
-        bfu_idx_const=bfu_idx_const)
+        bfu_idx_const=bfu_idx_const, tonal_planes=tonal_planes)
 
     # int8: |mantissa| <= 32, and the plane is the bulk of the host transfer;
     # recomputed at the chosen wordlen only (the full [.., 32, 8, 128] memo

@@ -1,0 +1,85 @@
+"""Fused rate-control Pallas kernel == the XLA bisection, bit for bit.
+
+The kernel (ops/pallas_alloc.py) re-runs bitalloc's lambda bisection —
+CalcBitsAllocation, the ConsiderEnergyErr boost fixed point, spec-bit
+costing and the tonal subgroup walk — entirely in VMEM.  Every float op is
+the same IEEE f32 elementwise op as the XLA path (the log2 is precomputed
+outside), so the final wordlens must be IDENTICAL, not just close.
+Runs in interpreter mode on the CPU mesh.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from atracdenc_tpu.models.atrac3 import bitalloc, tables as T, tonal
+from atracdenc_tpu.models.atrac3.encoder import (_GATHER_MASK,
+                                                 gather_bfu_blocks,
+                                                 spread_from_sfi)
+from atracdenc_tpu.ops import scale as scale_ops
+
+
+def _random_case(seed, c=2, f=6, with_tonal=True):
+    rng = np.random.default_rng(seed)
+    specs = (rng.standard_normal((c, f, 1024))
+             * 10.0 ** rng.uniform(-4, 0, (c, f, 1))).astype(np.float32)
+    specs = jnp.asarray(specs)
+    if with_tonal:
+        flat = tonal.flatness_per_bfu(specs * specs)
+        # force a few flat BFUs so tonal blocks actually appear
+        specs2, tp = tonal.extract(specs, flat)
+        planes = tonal.scale_groups(tp)
+        bfu_oh = np.eye(32, dtype=np.int32)[np.asarray(planes["bfu"])]
+        counts = jnp.asarray(
+            (bfu_oh * np.asarray(planes["active"])[..., None]).sum(-2))
+        fn = tonal.make_cost_fn(planes)
+    else:
+        specs2, planes, counts, fn = specs, None, None, None
+
+    blocks = gather_bfu_blocks(specs2)
+    sfi, scaled, energy = scale_ops.scale_blocks(
+        blocks, _GATHER_MASK, jnp.asarray(T.SCALE_TABLE))
+    qt = bitalloc.quant_tensors(scaled, _GATHER_MASK)
+    spread = spread_from_sfi(sfi)
+    gsf = jnp.asarray(
+        10.0 ** rng.uniform(-0.3, 0.3, (c, f, 4)).astype(np.float32))
+    loud = jnp.asarray(
+        10.0 ** rng.uniform(-3, 0, (c, f)).astype(np.float32))
+    target = jnp.asarray(
+        rng.integers(300, 1600, (c, f)).astype(np.int32))
+    return qt, sfi, gsf, energy, spread, loud, target, counts, fn, planes
+
+
+@pytest.mark.parametrize("with_tonal", [False, True])
+def test_fused_bisect_equals_xla(with_tonal):
+    for seed in (0, 1):
+        (qt, sfi, gsf, energy, spread, loud, target,
+         counts, fn, planes) = _random_case(seed, with_tonal=with_tonal)
+        nb_x, mode_x, wl_x = bitalloc.allocate(
+            qt, sfi, gsf, energy, spread, loud, target,
+            tonal_counts=counts, tonal_bits_fn=fn, use_pallas=False)
+        nb_p, mode_p, wl_p = bitalloc.allocate(
+            qt, sfi, gsf, energy, spread, loud, target,
+            tonal_counts=counts, tonal_bits_fn=fn, tonal_planes=planes,
+            use_pallas=True)
+        assert np.array_equal(np.asarray(nb_x), np.asarray(nb_p))
+        assert np.array_equal(np.asarray(wl_x), np.asarray(wl_p))
+        assert np.array_equal(np.asarray(mode_x), np.asarray(mode_p))
+
+
+def test_fused_bisect_low_budget_shrink():
+    """Tiny targets exercise the num_bfu clamp + shrink Repeat rounds."""
+    (qt, sfi, gsf, energy, spread, loud, _target,
+     counts, fn, planes) = _random_case(7, with_tonal=True)
+    target = jnp.asarray(
+        np.random.default_rng(7).integers(40, 220, _target.shape)
+        .astype(np.int32))
+    nb_x, mode_x, wl_x = bitalloc.allocate(
+        qt, sfi, gsf, energy, spread, loud, target,
+        tonal_counts=counts, tonal_bits_fn=fn, use_pallas=False)
+    nb_p, mode_p, wl_p = bitalloc.allocate(
+        qt, sfi, gsf, energy, spread, loud, target,
+        tonal_counts=counts, tonal_bits_fn=fn, tonal_planes=planes,
+        use_pallas=True)
+    assert np.array_equal(np.asarray(nb_x), np.asarray(nb_p))
+    assert np.array_equal(np.asarray(wl_x), np.asarray(wl_p))
+    assert np.array_equal(np.asarray(mode_x), np.asarray(mode_p))

@@ -116,9 +116,36 @@ def main():
         return jax.vmap(one)(qt, sfi, gsf, energy)
 
     @jax.jit
+    def st_alloc_tonal(qt, sfi, gsf, energy, specs):
+        """allocate() with the tonal dry-run cost INSIDE the bisection —
+        the full-mode configuration (the plain st_alloc stage uses the
+        constant empty-tonal header)."""
+        def one(qt, sfi, gsf, energy, specs):
+            c, f = sfi.shape[:2]
+            flat = tonal.flatness_per_bfu(specs * specs)
+            _, tp = tonal.extract(specs, flat)
+            tonal_planes = tonal.scale_groups(tp)
+            bfu_oh = jax.nn.one_hot(tonal_planes["bfu"], 32, dtype=jnp.int32)
+            tonal_counts = jnp.sum(
+                bfu_oh * tonal_planes["active"][..., None].astype(jnp.int32),
+                axis=-2)
+            spread = E.spread_from_sfi(sfi)
+            target = jnp.full((c, f), 1482, jnp.int32)
+            loud = jnp.full((c, f), 1.0, jnp.float32)
+            return bitalloc.allocate(qt, sfi, gsf, energy, spread, loud,
+                                     target, tonal_counts=tonal_counts,
+                                     tonal_bits_fn=tonal.make_cost_fn(
+                                         tonal_planes))
+        return jax.vmap(one)(qt, sfi, gsf, energy, specs)
+
+    @jax.jit
     def st_mant(scaled, wl):
         return jax.vmap(lambda s, w: bitalloc.final_mantissas(
             s, E._GATHER_MASK, w))(scaled, wl)
+
+    @jax.jit
+    def st_pack(planes):
+        return pack_device(planes, 384, False)
 
     @jax.jit
     def st_e2e(xs):
@@ -136,7 +163,13 @@ def main():
     sfi, scaled, energy = timeit("scale", st_scale, specs)
     qt = timeit("quant_tensors", st_quant, scaled)
     nb, mode, wl = timeit("allocate(bisect)", st_alloc, qt, sfi, gsf, energy)
+    timeit("allocate(+tonal cost)", st_alloc_tonal, qt, sfi, gsf, energy,
+           specs)
     timeit("final_mantissas", st_mant, scaled, wl)
+    planes = jax.jit(lambda xs: jax.vmap(lambda p: E.encode_frames(
+        p, frame_bytes=384, js=False, no_gain_control=False,
+        no_tonal=False))(xs))(xs)
+    timeit("device_pack", st_pack, planes)
     out = timeit("E2E fused bytes", st_e2e, xs)
 
     # device->host transfer of the result
