@@ -29,6 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from atracdenc_tpu.models.atrac1 import tables as T1
 from atracdenc_tpu.models.atrac3 import tables as T
 
 _MAX_WL = 8
@@ -173,6 +174,250 @@ def _kernel(csfi_ref, gated_ref, tcounts_ref, spread_ref, target_ref,
     _, _, last_l = jax.lax.fori_loop(0, _BISECT_STEPS, step, init)
     wl, _ = ev(last_l)
     wl_ref[...] = wl
+
+
+def _at1_eval(shift, *, sfi_f, fix, bias, gated, in_use, specs):
+    """ATRAC1 CalcBitsAllocation at lambda `shift` (models/atrac1/
+    bitalloc.calc_bits_allocation, op-for-op) + bits used."""
+    spread = T1.BIT_ALLOC_SPREAD
+    tmp = jnp.trunc(spread * (sfi_f / 3.2) + (1.0 - spread) * fix
+                    - shift + bias)
+    wl = jnp.where(tmp > 16, 16.0,
+                   jnp.where(tmp < 2, 0.0, tmp)).astype(jnp.int32)
+    wl = jnp.where(gated | ~in_use, 0, wl)
+    bits = jnp.sum(jnp.where(in_use, specs * wl, 0), axis=-1, keepdims=True)
+    return wl, bits
+
+
+def _at1_bisect(target, *, sfi_f, fix, bias, gated, in_use, specs, rows):
+    def step(_, carry):
+        min_l, max_l, last_l = carry
+        active = max_l > min_l
+        cur = (max_l + min_l) * 0.5
+        _, bits = _at1_eval(cur, sfi_f=sfi_f, fix=fix, bias=bias,
+                            gated=gated, in_use=in_use, specs=specs)
+        under = bits < target
+        over = bits > target
+        exact = ~under & ~over
+        last_l = jnp.where(active & (under | exact), cur, last_l)
+        max_l = jnp.where(active & under, cur - 0.01, max_l)
+        min_l = jnp.where(active & over, cur + 0.01, min_l)
+        max_l = jnp.where(active & exact, min_l, max_l)
+        return min_l, max_l, last_l
+
+    init = (jnp.full((rows, 1), -3.0, jnp.float32),
+            jnp.full((rows, 1), 15.0, jnp.float32),
+            jnp.full((rows, 1), 15.0, jnp.float32))
+    _, _, last_l = jax.lax.fori_loop(0, _BISECT_STEPS, step, init)
+    wl, _ = _at1_eval(last_l, sfi_f=sfi_f, fix=fix, bias=bias,
+                      gated=gated, in_use=in_use, specs=specs)
+    return wl
+
+
+def _at1_kernel(sfi_ref, energy_ref, short_ref, loud_ref, cf_ref, ci_ref,
+                idx_ref, wl_ref, *, auto, start_idx, boost_entries,
+                boost_min_key, boost_max_per_it, bfu_amount, shrink_rounds):
+    rows = sfi_ref.shape[0]
+    n52 = sfi_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n52), 1)
+    ath = cf_ref[0:1, :]
+    fix_long = cf_ref[1:2, :]
+    fix_short = cf_ref[2:3, :]
+    band = ci_ref[0:1, :]
+    specs = ci_ref[1:2, :]
+
+    sfi = sfi_ref[...]
+    sfi_f = sfi.astype(jnp.float32)
+    energy = energy_ref[...]
+    loud = loud_ref[...]
+
+    # per-BFU short flag / fixed table (band is static {0,1,2})
+    sf = short_ref[...] > 0                          # [R, 3]
+    short_b = jnp.where(band == 0, sf[:, 0:1],
+                        jnp.where(band == 1, sf[:, 1:2], sf[:, 2:3]))
+    fix = jnp.where(short_b, fix_short, fix_long)
+    gated = (~short_b) & (energy < ath * loud)
+
+    def mk_inputs(bfu_num):
+        """lambda-independent per-round inputs (tilt bias needs in_use)."""
+        in_use = iota < bfu_num
+        is_low = (band == 0) & in_use
+        is_mid = (band == 1) & in_use
+        n_low = jnp.sum(is_low.astype(jnp.int32), axis=-1, keepdims=True)
+        n_mid = jnp.sum(is_mid.astype(jnp.int32), axis=-1, keepdims=True)
+        sum_low = jnp.sum(jnp.where(is_low, sfi, 0), axis=-1,
+                          keepdims=True).astype(jnp.float32)
+        sum_mid = jnp.sum(jnp.where(is_mid, sfi, 0), axis=-1,
+                          keepdims=True).astype(jnp.float32)
+        tilt = jnp.where(
+            (n_low > 0) & (n_mid > 0),
+            sum_low / jnp.maximum(n_low, 1) - sum_mid / jnp.maximum(n_mid, 1),
+            0.0)
+        mid_bias = jnp.minimum(
+            T1.BAND_BIAS_MAX,
+            T1.BAND_BIAS_GAIN
+            * jnp.maximum(0.0, tilt - T1.BAND_BIAS_TILT_FLOOR))
+        bias = jnp.where(band == 0, 0.0,
+                         jnp.where(band == 1, mid_bias,
+                                   mid_bias * T1.BAND_BIAS_HIGH_RATIO))
+        target = (T1.SOUND_UNIT_SIZE * 8 - T1.BITS_PER_BFU_AMOUNT_TAB_IDX
+                  - 32 - 2 - 3
+                  - bfu_num * (T1.BITS_PER_IDWL + T1.BITS_PER_IDSF))
+        return in_use, bias, target
+
+    def amount(idx):
+        out = jnp.zeros_like(idx)
+        for k, v in enumerate(bfu_amount):
+            out = out + jnp.where(idx == k, int(v), 0)
+        return out
+
+    bfu_idx = jnp.full((rows, 1), start_idx, jnp.int32)
+    bfu_num = amount(bfu_idx)
+    in_use, bias, target = mk_inputs(bfu_num)
+    wl = _at1_bisect(target, sfi_f=sfi_f, fix=fix, bias=bias, gated=gated,
+                     in_use=in_use, specs=specs, rows=rows)
+
+    if auto:
+        amount_tab = np.asarray(bfu_amount, np.int32)
+
+        def round_body(state):
+            r, bfu_idx, wl, _ = state
+            bfu_num = amount(bfu_idx)
+            last_nz = jnp.max(
+                jnp.where((wl > 0) & (iota < bfu_num), iota, -1),
+                axis=-1, keepdims=True)
+            used_idx = jnp.zeros_like(bfu_idx)
+            for v in amount_tab:
+                used_idx = used_idx + (int(v) < (last_nz + 1)).astype(
+                    jnp.int32)
+            repeat = used_idx < bfu_idx
+            new_idx = jnp.where(repeat, bfu_idx - 1, bfu_idx)
+            in_use, bias, target = mk_inputs(amount(new_idx))
+            new_wl = _at1_bisect(target, sfi_f=sfi_f, fix=fix, bias=bias,
+                                 gated=gated, in_use=in_use, specs=specs,
+                                 rows=rows)
+            wl = jnp.where(repeat, new_wl, wl)
+            return r + 1, new_idx, wl, jnp.any(repeat)
+
+        def round_cond(state):
+            r, _, _, again = state
+            return (r < shrink_rounds - 1) & again
+
+        _, bfu_idx, wl, _ = jax.lax.while_loop(
+            round_cond, round_body,
+            (jnp.asarray(0, jnp.int32), bfu_idx, wl, jnp.asarray(True)))
+
+    # leftover-bit booster (models/atrac1/bitalloc._apply_boost)
+    bfu_num = amount(bfu_idx)
+    _, _, target = mk_inputs(bfu_num)
+    surplus = (target - jnp.sum(jnp.where(iota < bfu_num, specs * wl, 0),
+                                axis=-1, keepdims=True)).astype(jnp.int32)
+    key = jnp.minimum(surplus, boost_max_per_it)
+    enabled = surplus >= boost_min_key
+
+    def one_pass(wl, surplus):
+        changed = jnp.zeros((rows, 1), bool)
+        for bits, pos in boost_entries:
+            w = wl[:, pos:pos + 1]
+            nbps = jnp.where(w > 0, 1, 2)
+            ok = (enabled
+                  & (surplus >= boost_min_key)
+                  & (bits <= key)
+                  & (pos < bfu_num)
+                  & (w != 16)
+                  & ~((w == 0) & (bits * 2 > surplus))
+                  & (bits * nbps <= surplus))
+            inc = jnp.where(ok, nbps, 0)
+            wl = jnp.where(iota == pos, wl + inc, wl)
+            surplus = surplus - inc * bits
+            changed = changed | ok
+        return wl, surplus, changed
+
+    def boost_cond(state):
+        _, surplus, changed = state
+        return jnp.any(changed & (surplus >= boost_min_key))
+
+    def boost_body(state):
+        wl, surplus, _ = state
+        return one_pass(wl, surplus)
+
+    wl, surplus, changed = one_pass(wl, surplus)
+    wl, _, _ = jax.lax.while_loop(boost_cond, boost_body,
+                                  (wl, surplus, changed))
+
+    idx_ref[...] = bfu_idx
+    wl_ref[...] = wl
+
+
+@functools.partial(jax.jit, static_argnames=("bfu_idx_const", "interpret"))
+def at1_allocate_block(sfi, energy, short_flags, loudness, bfu_idx_const=0,
+                       interpret=False):
+    """Fused ATRAC1 rate control: bisection + BFU-shrink rounds + the
+    leftover-bit booster walk, all VMEM-resident per channel-frame block.
+
+    sfi [..., 52] i32, energy [..., 52] f32, short_flags [..., 3] bool,
+    loudness [...] f32.  Returns (bfu_idx [...] i32, wl [..., 52] i32) —
+    identical to models/atrac1/bitalloc.allocate.
+    """
+    from atracdenc_tpu.models.atrac1.bitalloc import (
+        _at1_ath_long, _BOOST_ENTRIES, _BOOST_MIN_KEY, _BOOST_MAX_PER_IT,
+        _SHRINK_ROUNDS)
+
+    lead = loudness.shape
+    n = int(np.prod(lead)) if lead else 1
+    nb = T1.MAX_BFUS
+    rows = _ROWS
+    pad = (-n) % rows
+
+    def prep(x, tail, dtype):
+        x = x.reshape((n,) + tail).astype(dtype)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + tail, dtype)], axis=0)
+        return x
+
+    sfi = prep(sfi, (nb,), jnp.int32)
+    energy = prep(energy, (nb,), jnp.float32)
+    short_flags = prep(short_flags, (3,), jnp.int32)
+    loudness = prep(loudness, (), jnp.float32)[:, None]
+    consts_f = jnp.stack([
+        jnp.asarray(_at1_ath_long(), jnp.float32),
+        jnp.asarray(T1.FIXED_BIT_ALLOC_LONG, jnp.float32),
+        jnp.asarray(T1.FIXED_BIT_ALLOC_SHORT, jnp.float32)])
+    consts_i = jnp.stack([jnp.asarray(T1.BFU_TO_BAND, jnp.int32),
+                          jnp.asarray(T1.SPECS_PER_BLOCK, jnp.int32)])
+
+    auto = bfu_idx_const == 0
+    kernel = functools.partial(
+        _at1_kernel, auto=auto,
+        start_idx=7 if auto else bfu_idx_const - 1,
+        boost_entries=tuple(_BOOST_ENTRIES),
+        boost_min_key=_BOOST_MIN_KEY,
+        boost_max_per_it=_BOOST_MAX_PER_IT,
+        bfu_amount=tuple(int(v) for v in np.asarray(T1.BFU_AMOUNT_TAB)),
+        shrink_rounds=_SHRINK_ROUNDS)
+
+    total = n + pad
+    grid = (total // rows,)
+    rb = lambda w: pl.BlockSpec((rows, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    bfu_idx, wl = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[rb(nb), rb(nb), rb(3), rb(1),
+                  pl.BlockSpec((3, nb), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2, nb), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(rb(1), rb(nb)),
+        out_shape=(jax.ShapeDtypeStruct((total, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((total, nb), jnp.int32)),
+        interpret=interpret,
+    )(sfi, energy, short_flags, loudness, consts_f, consts_i)
+    if pad:
+        bfu_idx = bfu_idx[:n]
+        wl = wl[:n]
+    return bfu_idx.reshape(lead), wl.reshape(lead + (nb,))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

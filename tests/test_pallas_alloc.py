@@ -66,6 +66,28 @@ def test_fused_bisect_equals_xla(with_tonal):
         assert np.array_equal(np.asarray(mode_x), np.asarray(mode_p))
 
 
+def test_at1_fused_allocate_equals_xla():
+    """ATRAC1 fused rate control (bisect + shrink + booster) == XLA."""
+    from atracdenc_tpu.models.atrac1 import bitalloc as ba1, tables as T1
+
+    rng = np.random.default_rng(3)
+    c, f = 2, 8
+    sfi = jnp.asarray(rng.integers(0, 64, (c, f, 52)).astype(np.int32))
+    energy = jnp.asarray(
+        (10.0 ** rng.uniform(-9, 2, (c, f, 52))).astype(np.float32))
+    short_flags = jnp.asarray(rng.integers(0, 2, (c, f, 3)) > 0)
+    loud = jnp.asarray(
+        (10.0 ** rng.uniform(-4, 0, (c, f))).astype(np.float32))
+
+    for const in (0, 1, 4):
+        idx_x, wl_x = ba1.allocate(sfi, energy, short_flags, loud,
+                                   bfu_idx_const=const, use_pallas=False)
+        idx_p, wl_p = ba1.allocate(sfi, energy, short_flags, loud,
+                                   bfu_idx_const=const, use_pallas=True)
+        assert np.array_equal(np.asarray(idx_x), np.asarray(idx_p)), const
+        assert np.array_equal(np.asarray(wl_x), np.asarray(wl_p)), const
+
+
 def test_fused_bisect_low_budget_shrink():
     """Tiny targets exercise the num_bfu clamp + shrink Repeat rounds."""
     (qt, sfi, gsf, energy, spread, loud, _target,
