@@ -66,6 +66,29 @@ def test_fused_bisect_equals_xla(with_tonal):
         assert np.array_equal(np.asarray(mode_x), np.asarray(mode_p))
 
 
+def test_fused_bisect_under_vmap():
+    """The batch-transcode path vmaps the encoder over streams, so the
+    kernel must batch through jax.vmap (Pallas adds a grid dim)."""
+    import jax
+
+    cases = [_random_case(s, c=1, f=4, with_tonal=False) for s in (0, 1)]
+    qt = {k: jnp.stack([c[0][k] for c in cases]) for k in cases[0][0]}
+    stack = lambda i: jnp.stack([c[i] for c in cases])
+    sfi, gsf, energy, spread, loud, target = (
+        stack(1), stack(2), stack(3), stack(4), stack(5), stack(6))
+
+    def run(up):
+        return jax.vmap(lambda qt, s, g, e, sp, l, t: bitalloc.allocate(
+            qt, s, g, e, sp, l, t, use_pallas=up))(
+                qt, sfi, gsf, energy, spread, loud, target)
+
+    nb_x, mode_x, wl_x = run(False)
+    nb_p, mode_p, wl_p = run(True)
+    assert np.array_equal(np.asarray(nb_x), np.asarray(nb_p))
+    assert np.array_equal(np.asarray(wl_x), np.asarray(wl_p))
+    assert np.array_equal(np.asarray(mode_x), np.asarray(mode_p))
+
+
 def test_at1_fused_allocate_equals_xla():
     """ATRAC1 fused rate control (bisect + shrink + booster) == XLA."""
     from atracdenc_tpu.models.atrac1 import bitalloc as ba1, tables as T1
