@@ -150,6 +150,42 @@ def decode_atrac1(args):
     audio.write(args.outfile, pcm, 44100)
 
 
+def decode_atrac3_family(args, container):
+    """Decode OMA / RIFF / RealMedia ATRAC3 or ATRAC3+ to PCM (beyond the
+    reference, whose decode mode is ATRAC1-only)."""
+    from atracdenc_tpu.io import audio
+
+    if container == "oma":
+        from atracdenc_tpu.containers import oma
+        frames, info = oma.read(args.infile)
+        codec = ("atrac3" if info["codec"] == oma.CODEC_ATRAC3
+                 else "atrac3plus")
+    elif container == "riff":
+        from atracdenc_tpu.containers import at3
+        frames, info = at3.read(args.infile)
+        codec = info["codec"]
+    else:
+        from atracdenc_tpu.containers import rm
+        frames, info = rm.read(args.infile)
+        codec = "atrac3"
+    channels = info["channels"]
+    if not args.nostdout:
+        print(f"Input file: {args.infile}\n Codec: {codec}\n "
+              f"Channels: {channels}\n FrameSz: {info['frame_size']}")
+
+    if codec == "atrac3":
+        from atracdenc_tpu.models.atrac3.decoder import decode_track
+        pcm = decode_track(frames, channels=channels,
+                           js=info.get("joint_stereo", False))
+    else:
+        from atracdenc_tpu.models.atrac3p.decoder import decode_track
+        pcm = decode_track(frames, channels)
+    total = info.get("total_samples", 0)
+    if total:
+        pcm = pcm[:, :total]
+    audio.write(args.outfile, pcm, 44100)
+
+
 def encode_atrac3(args, lp4=False):
     from atracdenc_tpu.models.atrac3.cli_glue import encode_file
     encode_file(args, lp4=lp4)
@@ -166,9 +202,21 @@ def main(argv=None):
         sys.exit("Select mode: encode or decode")
 
     if args.decode:
-        if not args.infile.lower().endswith(".aea") and args.container not in (None, "aea"):
-            sys.exit("Only ATRAC1 (AEA) decoding is supported, like the reference")
-        decode_atrac1(args)
+        # dispatch by content magic: AEA (ATRAC1, reference-compatible) plus
+        # OMA / RIFF / RealMedia ATRAC3/ATRAC3+ decoding — a capability
+        # BEYOND the reference, whose decoder is ATRAC1-only
+        # (/root/reference/src/main.cpp:649-655); backed by the QA decoders
+        # (models/atrac3/decoder.py, models/atrac3p/decoder.py).
+        with open(args.infile, "rb") as fp:
+            magic = fp.read(4)
+        if magic[:3] == b"ea3" or magic[:3] == b"EA3":
+            decode_atrac3_family(args, "oma")
+        elif magic == b"RIFF":
+            decode_atrac3_family(args, "riff")
+        elif magic == b".RMF":
+            decode_atrac3_family(args, "rm")
+        else:
+            decode_atrac1(args)
         return
 
     codec = args.encode

@@ -39,6 +39,54 @@ def write_at3(path, frames: np.ndarray, frame_size, joint_stereo=False,
         fp.write(np.ascontiguousarray(frames, np.uint8).tobytes())
 
 
+def read(path):
+    """RIFF/WAVE ATRAC3 or ATRAC3+ -> (frames [N, frame_size] uint8, info).
+
+    info: {"codec": "atrac3"|"atrac3plus", "channels", "frame_size",
+    "joint_stereo", "total_samples" (0 if no fact chunk)}.
+    New capability — the reference only WRITES this container (its decoder
+    is ATRAC1-only, src/main.cpp:649-655)."""
+    with open(path, "rb") as fp:
+        riff = fp.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        fmt = None
+        total_samples = 0
+        data = None
+        while True:
+            hdr = fp.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            body = fp.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"fact" and len(body) >= 4:
+                total_samples = struct.unpack("<I", body[:4])[0]
+            elif cid == b"data":
+                data = body
+    if fmt is None or data is None:
+        raise ValueError("RIFF file lacks fmt/data chunks")
+    tag, channels, _rate, _bps, block_align = struct.unpack("<HHIIH",
+                                                            fmt[:14])
+    if tag == 0x270:
+        ext = fmt[18:]
+        js = bool(struct.unpack("<H", ext[6:8])[0]) if len(ext) >= 8 else False
+        info = {"codec": "atrac3", "channels": channels,
+                "frame_size": block_align, "joint_stereo": js,
+                "total_samples": total_samples}
+    elif tag == 0xFFFE and fmt[24:40] == _AT3P_GUID:
+        info = {"codec": "atrac3plus", "channels": channels,
+                "frame_size": block_align, "joint_stereo": False,
+                "total_samples": total_samples}
+    else:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:x}")
+    fs = info["frame_size"]
+    n = len(data) // fs
+    frames = np.frombuffer(data[: n * fs], np.uint8).reshape(n, fs)
+    return frames, info
+
+
 def write_at3p(path, frames: np.ndarray, frame_size, channels=2):
     n = frames.shape[0]
     data_size = n * frame_size

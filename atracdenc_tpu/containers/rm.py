@@ -51,6 +51,62 @@ def _codec_data(frame_size, channels, joint_stereo, bitrate):
     return bytes(buf)
 
 
+def read(path):
+    """RealMedia ATRAC3 -> (frames [N, frame_size] uint8, info).
+
+    Inverts the writer below: walks .RMF/PROP/MDPR/DATA, pulls the
+    sub-packet size and JS flag from the RA5 codec blob, splits the 3-frame
+    media packets and unscrambles the payloads.  New capability — the
+    reference only writes .rm."""
+    with open(path, "rb") as fp:
+        blob = fp.read()
+    if blob[:4] != b".RMF":
+        raise ValueError("not a RealMedia file")
+    pos = 0
+    frame_size = None
+    joint_stereo = False
+    payload = None
+    npkts = 0
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = struct.unpack(">I", blob[pos + 4:pos + 8])[0]
+        if cid == b".RMF":
+            size = _RMF_SZ
+        if cid == b"MDPR":
+            cd = blob[pos + size - _CODEC_DATA_SZ: pos + size]
+            if cd[4:8] != b".ra\xfd":
+                raise ValueError("MDPR without RA5 codec data")
+            frame_size = struct.unpack(">H", cd[48:50])[0]
+            joint_stereo = struct.unpack(">H", cd[90:92])[0] == 0x12
+        elif cid == b"DATA":
+            npkts = struct.unpack(">I", blob[pos + 10:pos + 14])[0]
+            payload = blob[pos + 18: pos + size]
+        pos += size
+    if frame_size is None or payload is None:
+        raise ValueError("RealMedia file lacks MDPR/DATA chunks")
+
+    key = np.array([0x53, 0x7F, 0x61, 0x03], np.uint8)
+    # packet = 10-byte header (ver, len, stream, ts) + 2 flag bytes + frames
+    pkt_hdr = 12
+    pkt_sz = pkt_hdr + 3 * frame_size
+    out = []
+    p = 0
+    while p + pkt_hdr + frame_size <= len(payload):
+        # a final short packet carries 1-2 frames (the writer declares the
+        # full 3-frame length but writes only what exists)
+        body = payload[p + pkt_hdr: min(p + pkt_sz, len(payload))]
+        k = len(body) // frame_size
+        out.append(np.frombuffer(body[: k * frame_size], np.uint8)
+                   .reshape(k, frame_size))
+        p += pkt_sz
+    frames = (np.concatenate(out, axis=0) if out
+              else np.zeros((0, frame_size), np.uint8))
+    frames = frames ^ np.tile(key, frame_size // 4)
+    info = {"codec": "atrac3", "channels": 2, "frame_size": frame_size,
+            "joint_stereo": joint_stereo, "total_samples": npkts * 1024}
+    return frames, info
+
+
 def write(path, frames: np.ndarray, frame_size, channels=2,
           joint_stereo=False):
     """frames: [N, frame_size] uint8."""

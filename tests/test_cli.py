@@ -124,3 +124,38 @@ def test_container_autoselect_from_extension(wav_file, tmp_path):
     cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(out2),
               "--nostdout"])
     assert out2.read_bytes()[:4] == b"RIFF"
+
+
+def test_decode_atrac3_oma_riff_rm(wav_file, tmp_path):
+    """-d decodes ATRAC3 from OMA/RIFF/RM — a capability beyond the
+    reference, whose decode mode is ATRAC1-only (main.cpp:649-655)."""
+    from atracdenc_tpu.io import audio
+    a, _ = audio.read(str(wav_file))
+    for container, ext in (("oma", "oma"), ("riff", "at3"), ("rm", "rm")):
+        enc = tmp_path / f"x.{ext}"
+        cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(enc),
+                  "--container", container, "--nostdout"])
+        dec = tmp_path / f"x_{container}.wav"
+        cli.main(["-d", "-i", str(enc), "-o", str(dec), "--nostdout"])
+        b, rate = audio.read(str(dec))
+        assert rate == 44100
+        n = min(a.shape[1], b.shape[1])
+        ra = float(np.sqrt((a[:, :n] ** 2).mean()))
+        rb = float(np.sqrt((b[:, :n] ** 2).mean()))
+        assert rb > 0.5 * ra, (container, ra, rb)
+
+
+@pytest.mark.slow
+def test_decode_atrac3plus_oma(wav_file, tmp_path):
+    from atracdenc_tpu.io import audio
+    enc = tmp_path / "p.oma"
+    cli.main(["-e", "atrac3plus", "-i", str(wav_file), "-o", str(enc),
+              "--nostdout"])
+    dec = tmp_path / "p.wav"
+    cli.main(["-d", "-i", str(enc), "-o", str(dec), "--nostdout"])
+    a, _ = audio.read(str(wav_file))
+    b, _ = audio.read(str(dec))
+    n = min(a.shape[1], b.shape[1])
+    ra = float(np.sqrt((a[:, :n] ** 2).mean()))
+    rb = float(np.sqrt((b[:, :n] ** 2).mean()))
+    assert rb > 0.5 * ra
