@@ -113,21 +113,29 @@ def quant_tensors(scaled, valid_mask, use_pallas=None):
     since single-symbol codes are independent); the wl==1 pair codebook is
     not flip-additive, so that one lane still runs in mantissa mode.
 
-    use_pallas: None -> ATRACDENC_TPU_PALLAS env var; True -> the fused
-    Pallas kernel for the plain costs (EA overlay identical either way).
+    use_pallas: None -> ATRACDENC_TPU_PALLAS env var; True -> the whole
+    memo (plain costs + EA overlay + pair codebook) runs in one fused
+    VMEM-resident Pallas kernel (ops/pallas_quant.quant_cost_full).
     """
     if use_pallas is None:
         use_pallas = _PALLAS_DEFAULT
-    if use_pallas:
-        err, vlc_single, pair1 = _plain_costs_pallas(scaled, valid_mask)
-    else:
-        err, vlc_single, pair1 = _plain_costs_xla(scaled, valid_mask)
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
     wl = jnp.arange(_MAX_WL)
     clc = jnp.where(wl[None, :] > 1, _CLC_LEN[wl][None, :] * _SPECS[:, None],
                     _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2))
+
+    if use_pallas:
+        import jax.extend.backend as jxb
+        from atracdenc_tpu.ops.pallas_quant import quant_cost_full
+
+        interpret = jxb.get_backend().platform != "tpu"
+        err, vlc = quant_cost_full(scaled, valid_mask, interpret=interpret)
+        clc = jnp.broadcast_to(clc, err.shape).astype(jnp.int32)
+        return {"err": err, "clc": clc, "vlc": vlc}
+
+    err, vlc_single, pair1 = _plain_costs_xla(scaled, valid_mask)
     clc = jnp.broadcast_to(clc, err.shape).astype(jnp.int32)
 
     x = scaled[..., :, None, :]                        # [..., 32, 1, 128]

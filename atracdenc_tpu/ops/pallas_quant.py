@@ -14,6 +14,13 @@ op-for-op (multiply, round-half-even, masked sums, step-function codebook
 lengths); the only tolerated difference is the 128-lane reduction tree,
 which jnp.sum also leaves to the backend in the XLA path.
 
+Two kernels: `quant_cost_plain` (the 8 plain-rounded lanes) and
+`quant_cost_full` (plain lanes + the greedy energy-adjusted overlay of
+ops/quant.quant_blocks + the wl==1 pair codebook — the COMPLETE
+bitalloc.quant_tensors memo in one VMEM residency; the greedy pass runs
+as an in-kernel min-extraction while_loop with the same candidate order
+and float op order as the XLA rank/scan formulation).
+
 Enable via bitalloc.quant_tensors(..., use_pallas=True) or the
 ATRACDENC_TPU_PALLAS=1 environment variable; tests/test_pallas_quant.py
 pins equality against the XLA path.
@@ -79,6 +86,224 @@ def _kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq):
         for j, d in steps:
             bits = bits + d * (idx >= j).astype(jnp.int32)
         vlc_ref[..., w] = jnp.sum(jnp.where(valid, bits, 0), axis=-1)
+
+
+def _vlc_bits_of_mant(mant, valid, sel):
+    """VLC bit length of each (integer) mantissa under codebook `sel`,
+    masked — bitalloc._vlc_bits_arith as static step functions."""
+    idx = jnp.where(mant < 0, (-mant) * 2,
+                    jnp.where(mant > 0, mant * 2 - 1, 0))
+    base, steps = _vlc_steps(sel)
+    bits = jnp.full(idx.shape, base, jnp.int32)
+    for j, d in steps:
+        bits = bits + d * (idx >= j).astype(jnp.int32)
+    return jnp.where(valid, bits, 0)
+
+
+def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
+    """Energy-adjusted refinement for BFUs [b, e) with block length L —
+    the in-kernel equivalent of the XLA overlay in bitalloc.quant_tensors
+    (ops/quant.quant_blocks semantics, candidate order = ascending
+    |delta| with index tie-break, e2 updated as (e2 - a) + b in f32).
+
+    x [R, 32, 128] scaled values; err/vlc [R, 32, 8] get the EA lanes
+    overwritten; mant1 [R, 32, 128] gets the wl==1 EA mantissas.
+    Returns (err, vlc, mant1).
+    """
+    nb = e - b
+    sub = x[:, b:e, :L]                              # [R, nb, L]
+    subv = valid[None, b:e, :L]
+    # e1 over the L-wide slice, exactly like ops.quant._round_energy on
+    # the sliced sub (the full-width masked sum can differ in reduction
+    # tree; quant_blocks computes it this way)
+    e1g = jnp.sum(jnp.where(subv, sub * sub, 0.0), axis=-1)   # [R, nb]
+    del e1
+
+    for w in range(1, _MAX_WL):
+        mul = float(maxq[w])
+        t = sub * mul
+        m_old = jnp.where(subv, jnp.round(t), 0.0).astype(jnp.int32)
+        inv2 = 1.0 / (mul * mul)
+        e2g = jnp.sum(jnp.where(subv, (m_old * m_old).astype(sub.dtype),
+                                0.0), axis=-1) * inv2
+        up = e2g < e1g
+        dn = e2g > e1g
+
+        abs_t = jnp.abs(t)
+        abs_m = jnp.abs(m_old).astype(sub.dtype)
+        m_up = jnp.where(m_old > 0, m_old + 1,
+                         jnp.where(m_old < 0, m_old - 1,
+                                   jnp.where(t > 0, 1, -1)))
+        m_dn = jnp.where(m_old > 0, m_old - 1,
+                         jnp.where(m_old < 0, m_old + 1, m_old))
+        m_new = jnp.where(up[..., None], m_up, m_dn)
+        elig_up = (abs_m < abs_t) & (abs_m < (mul - 1.0))
+        elig_dn = abs_m > abs_t
+        elig = jnp.where(up[..., None], elig_up,
+                         jnp.where(dn[..., None], elig_dn, False))
+
+        delta = t - (jnp.trunc(t) + 0.5)
+        cand = subv & (jnp.abs(delta) < 0.25)
+        key0 = jnp.where(cand, jnp.abs(delta), jnp.inf)
+
+        a_term = (m_old * m_old).astype(sub.dtype) * inv2
+        b_term = (m_new * m_new).astype(sub.dtype) * inv2
+        if w >= 2:
+            sel = min(w - 1, 6)
+            dbits = (_vlc_bits_of_mant(m_new, True, sel)
+                     - _vlc_bits_of_mant(m_old, True, sel))
+        else:
+            dbits = jnp.zeros(m_old.shape, jnp.int32)
+
+        def step(state):
+            _s, key, e2, accept, aux = state
+            m = jnp.min(key, axis=-1, keepdims=True)
+            is_min = key == m
+            first = is_min & (jnp.cumsum(is_min.astype(jnp.int32),
+                                         axis=-1) == 1)
+            real = m < jnp.inf
+            a_s = jnp.sum(jnp.where(first, a_term, 0.0), axis=-1,
+                          keepdims=True)
+            b_s = jnp.sum(jnp.where(first, b_term, 0.0), axis=-1,
+                          keepdims=True)
+            el_s = jnp.any(first & elig, axis=-1, keepdims=True)
+            d_s = jnp.sum(jnp.where(first, dbits, 0), axis=-1,
+                          keepdims=True)
+            ex = (e2 - a_s) + b_s
+            e1k = e1g[..., None]
+            acc = real & el_s & (jnp.abs(ex - e1k) < jnp.abs(e2 - e1k))
+            e2 = jnp.where(acc, ex, e2)
+            accept = accept | (first & acc)
+            aux = aux + jnp.where(acc, d_s, 0)[..., 0]
+            key = jnp.where(first, jnp.inf, key)
+            return _s + 1, key, e2, accept, aux
+
+        # any candidate left and step budget remains
+        def cond2(state):
+            _s, key, *_ = state
+            return (_s < L) & jnp.any(key < jnp.inf)
+
+        init = (jnp.asarray(0, jnp.int32), key0, e2g[..., None],
+                jnp.zeros(m_old.shape, bool), jnp.zeros(e2g.shape,
+                                                        jnp.int32))
+        _, _, e2f, accept, aux = jax.lax.while_loop(cond2, step, init)
+        e2f = e2f[..., 0]
+
+        err_lane = e1g / e2f
+        err_lane = jnp.where(jnp.isnan(err_lane), 0.0,
+                             jnp.where(jnp.isinf(err_lane),
+                                       jnp.finfo(jnp.float32).max,
+                                       err_lane))
+        err = err.at[:, b:e, w].set(err_lane)
+        if w == 1:
+            m_adj = jnp.where(accept, m_new, m_old)
+            m_adj = jnp.where(subv, m_adj, 0)
+            mant1 = mant1.at[:, b:e, :L].set(m_adj)
+        else:
+            vlc = vlc.at[:, b:e, w].add(aux)
+    return err, vlc, mant1
+
+
+def _full_kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq, ea_groups):
+    """Complete quant-cost memo: plain lanes + EA refinement + wl==1 pair
+    codebook, one HBM read of the scaled blocks."""
+    x = x_ref[...]                                   # [R, 32, 128]
+    valid2 = mask_ref[...] > 0                       # [32, 128]
+    valid = valid2[None]
+    e1 = jnp.sum(jnp.where(valid, x * x, 0.0), axis=-1)   # [R, 32]
+
+    err = jnp.zeros(x.shape[:-1] + (_MAX_WL,), jnp.float32)
+    vlc = jnp.zeros(x.shape[:-1] + (_MAX_WL,), jnp.int32)
+    mant1 = jnp.zeros(x.shape, jnp.int32)
+    for w in range(_MAX_WL):
+        mul = float(maxq[w])
+        t = x * mul
+        mant = jnp.where(valid, jnp.round(t), 0.0)
+        if mul > 0:
+            e2 = jnp.sum(jnp.where(valid, mant * mant, 0.0), axis=-1) * (
+                1.0 / (mul * mul))
+            lane = e1 / e2
+            lane = jnp.where(jnp.isnan(lane), 0.0,
+                             jnp.where(jnp.isinf(lane),
+                                       jnp.finfo(jnp.float32).max, lane))
+        else:
+            lane = jnp.zeros_like(e1)
+        err = err.at[..., w].set(lane)
+        mi = mant.astype(jnp.int32)
+        if w == 1:
+            mant1 = mi
+        bits = _vlc_bits_of_mant(mi, valid, min(max(w - 1, 0), 6))
+        vlc = vlc.at[..., w].set(jnp.sum(bits, axis=-1))
+
+    for b, e, L in ea_groups:
+        err, vlc, mant1 = _ea_group(x, valid2, e1, err, vlc, mant1,
+                                    b, e, L, maxq)
+
+    # wl==1 pair codebook over (even, odd) neighbors — roll avoids any
+    # minor-dim reshape (pairs start at even positions)
+    nxt = pltpu.roll(mant1, 127, axis=mant1.ndim - 1)  # == jnp.roll(-1)
+    keyp = 3 * (mant1 + 1) + (nxt + 1)
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    even_valid = valid & (iota128 % 2 == 0)
+    bits_pair = jnp.zeros(keyp.shape, jnp.int32)
+    for k in range(9):
+        blen = int(T.VLC_BITS[0, T.VLC_PAIR_RTAB[k]])
+        bits_pair = bits_pair + blen * (keyp == k).astype(jnp.int32)
+    vlc = vlc.at[..., 1].set(
+        jnp.sum(jnp.where(even_valid, bits_pair, 0), axis=-1))
+
+    err_ref[...] = err
+    vlc_ref[...] = vlc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_cost_full(scaled, valid_mask, interpret=False):
+    """scaled [..., 32, 128] f32, valid_mask [32, 128] -> (err, vlc)
+    each [..., 32, 8].  COMPLETE: identical to
+    bitalloc.quant_tensors(...)['err'/'vlc'] — plain costs, the EA
+    overlay, and the wl==1 pair codebook all run in one VMEM-resident
+    kernel."""
+    lead = scaled.shape[:-2]
+    n = int(np.prod(lead)) if lead else 1
+    x = scaled.reshape(n, 32, 128)
+    rows = _ROWS
+    pad = (-n) % rows
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, 32, 128), x.dtype)], axis=0)
+    grid = (x.shape[0] // rows,)
+
+    from atracdenc_tpu.models.atrac3.bitalloc import _ea_groups
+    mask = jnp.asarray(valid_mask, jnp.int32)
+    kernel = functools.partial(_full_kernel, maxq=np.asarray(T.MAX_QUANT),
+                               ea_groups=tuple(_ea_groups()))
+
+    err, vlc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 32, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, 32, _MAX_WL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 32, _MAX_WL), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x.shape[0], 32, _MAX_WL), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], 32, _MAX_WL), jnp.int32),
+        ),
+        interpret=interpret,
+    )(x, mask)
+    if pad:
+        err = err[:n]
+        vlc = vlc[:n]
+    return err.reshape(lead + (32, _MAX_WL)), \
+        vlc.reshape(lead + (32, _MAX_WL))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

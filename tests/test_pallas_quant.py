@@ -36,6 +36,9 @@ def test_plain_costs_match():
 
 
 def test_quant_tensors_equivalent():
+    """use_pallas=True now runs the COMPLETE memo (plain + EA overlay +
+    wl==1 pair codebook) inside one kernel (quant_cost_full); it must
+    match the XLA quant_tensors exactly on the integer planes."""
     scaled = _inputs(seed=1, n=4)
     qt_x = bitalloc.quant_tensors(scaled, _GATHER_MASK, use_pallas=False)
     qt_p = bitalloc.quant_tensors(scaled, _GATHER_MASK, use_pallas=True)
@@ -43,3 +46,17 @@ def test_quant_tensors_equivalent():
     assert np.array_equal(np.asarray(qt_x["vlc"]), np.asarray(qt_p["vlc"]))
     ex, ep = np.asarray(qt_x["err"]), np.asarray(qt_p["err"])
     np.testing.assert_allclose(ex, ep, rtol=1e-6)
+
+
+def test_quant_tensors_full_under_vmap():
+    """The batch transcoder vmaps the encoder over streams — the fused
+    memo kernel must batch through jax.vmap with identical results."""
+    import jax
+
+    scaled = _inputs(seed=2, n=6).reshape(2, 3, 32, 128)
+    qt_x = bitalloc.quant_tensors(scaled, _GATHER_MASK, use_pallas=False)
+    qt_p = jax.vmap(lambda s: bitalloc.quant_tensors(
+        s, _GATHER_MASK, use_pallas=True))(scaled)
+    assert np.array_equal(np.asarray(qt_x["vlc"]), np.asarray(qt_p["vlc"]))
+    np.testing.assert_allclose(np.asarray(qt_x["err"]),
+                               np.asarray(qt_p["err"]), rtol=1e-6)

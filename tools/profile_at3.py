@@ -145,7 +145,8 @@ def main():
 
     @jax.jit
     def st_pack(planes):
-        return pack_device(planes, 384, False)
+        from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
+        return pack_device_batch(planes, 384, False)
 
     @jax.jit
     def st_e2e(xs):
