@@ -26,6 +26,22 @@ REF_AT3P_FRAMES_PER_S = 930.0    # at3p_oracle (GHA-off flow), 1 core user
                                  # time, 1024 stereo frames, 2026-08-17
 
 
+def _set_pallas(flag):
+    """Route the rate-control stages through the fused Pallas kernels
+    (ops/pallas_quant.py, ops/pallas_alloc.py) or the XLA formulations.
+    Both produce identical bytes (tests/test_pallas_*.py); which is
+    faster is a scheduling question the bench answers empirically."""
+    from atracdenc_tpu.models.atrac1 import bitalloc as b1
+    from atracdenc_tpu.models.atrac3 import bitalloc as b3
+    b1._PALLAS_DEFAULT = flag
+    b3._PALLAS_DEFAULT = flag
+
+
+def _on_tpu():
+    import jax.extend.backend as jxb
+    return jxb.get_backend().platform == "tpu"
+
+
 def _pipeline_rate(batched, x, n_items, iters=4):
     """Steady-state items/s of jitted `batched` with transfer overlap."""
     import jax
@@ -106,15 +122,33 @@ def main():
                   -1, 1).astype(np.float32)
     x = jnp.asarray(pcm)
 
-    batched = jax.jit(lambda xs: pack_device_batch(
-        jax.vmap(lambda p: encode_frames(
-            p, frame_bytes=384, js=False,
-            no_gain_control=False, no_tonal=False))(xs), 384, False))
-    # steady-state pipeline: batch i+1 computes on-device while batch i's
-    # bytes transfer out
-    fps = _pipeline_rate(batched, x, streams * nframes)
+    def measure_at3():
+        batched = jax.jit(lambda xs: pack_device_batch(
+            jax.vmap(lambda p: encode_frames(
+                p, frame_bytes=384, js=False,
+                no_gain_control=False, no_tonal=False))(xs), 384, False))
+        # steady-state pipeline: batch i+1 computes on-device while batch
+        # i's bytes transfer out
+        return _pipeline_rate(batched, x, streams * nframes)
+
+    # XLA vs fused-Pallas rate control: byte-identical outputs, so take
+    # whichever schedules better on this chip (Pallas only attempted on
+    # real TPU — interpret mode on CPU is for correctness, not speed)
+    _set_pallas(False)
+    fps_xla = measure_at3()
+    fps_pls = 0.0
+    if _on_tpu():
+        _set_pallas(True)
+        fps_pls = measure_at3()
+        _set_pallas(False)
+    fps = max(fps_xla, fps_pls)
 
     at1_rate = _bench_at1(pcm[:8, :, :512 * 512])
+    if _on_tpu():
+        _set_pallas(True)
+        at1_rate_pls = _bench_at1(pcm[:8, :, :512 * 512])
+        _set_pallas(False)
+        at1_rate = max(at1_rate, at1_rate_pls)
     at3p_rate = _bench_at3p(pcm[:4, :, :2048 * 128])
 
     print(json.dumps({
@@ -123,6 +157,8 @@ def main():
         "unit": "stereo_frames_per_s",
         "vs_baseline": round(fps / REF_FRAMES_PER_S, 2),
         "extra": {
+            "at3_fps_xla_rate_ctl": round(fps_xla, 1),
+            "at3_fps_pallas_rate_ctl": round(fps_pls, 1),
             "atrac1_units_per_s": round(at1_rate, 1),
             "atrac1_vs_baseline": round(at1_rate / REF_AT1_UNITS_PER_S, 2),
             "at3p_gha_frames_per_s": round(at3p_rate, 1),
