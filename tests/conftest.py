@@ -13,7 +13,27 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Persistent executable cache: the golden suites are compile-dominated on
 # this 1-core host; cached compiles cut a cold 15-minute file to seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/atracdenc_tpu_jax"))
+# The directory is fingerprinted by the host CPU: XLA:CPU stores AOT
+# machine code, and entries from a different host (the sandbox VM can
+# move between machines) load with a feature-mismatch warning and then
+# SIGILL/SIGSEGV or produce ulp-different float results.
+
+
+def _machine_tag():
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine()
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser(f"~/.cache/atracdenc_tpu_jax_{_machine_tag()}"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -12,6 +12,23 @@ from atracdenc_tpu.models.atrac1.encoder import encode_track
 pytestmark = pytest.mark.slow
 
 
+def _assert_planes_equal(whole, chunked):
+    """Encoded planes must be byte-identical.  The clip_* diagnostics are
+    raw-float telemetry off the MDCT spectra: XLA tiles the reduction
+    differently for whole-track vs chunked batch shapes, giving 1-ulp
+    drift (same reason parallel/mesh.py:48 strips them from sharded
+    comparisons) — compare those to tolerance instead."""
+    assert whole.keys() == chunked.keys()
+    for k in whole:
+        if k == "clip_max":
+            np.testing.assert_allclose(whole[k], chunked[k], rtol=1e-5)
+        elif k == "clip_count":
+            assert np.abs(np.asarray(whole[k], np.int64)
+                          - np.asarray(chunked[k], np.int64)).max() <= 2, k
+        else:
+            assert np.array_equal(whole[k], chunked[k]), k
+
+
 def _pcm(frames, seed=9):
     t = 512 * frames
     rng = np.random.default_rng(seed)
@@ -27,9 +44,7 @@ def test_chunked_equals_whole():
     pcm = _pcm(23)
     whole = encode_track(pcm, chunk_frames=0)
     chunked = encode_track(pcm, chunk_frames=7)
-    assert whole.keys() == chunked.keys()
-    for k in whole:
-        assert np.array_equal(whole[k], chunked[k]), k
+    _assert_planes_equal(whole, chunked)
 
 
 def test_chunked_equals_whole_fixed_windows():
@@ -38,5 +53,4 @@ def test_chunked_equals_whole_fixed_windows():
                          window_mask=5)
     chunked = encode_track(pcm, chunk_frames=4, window_mode="fixed",
                            window_mask=5)
-    for k in whole:
-        assert np.array_equal(whole[k], chunked[k]), k
+    _assert_planes_equal(whole, chunked)

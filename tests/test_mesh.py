@@ -16,6 +16,18 @@ from atracdenc_tpu.parallel import mesh as M
 pytestmark = pytest.mark.slow
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Deserializing multi-device executables from the persistent jit
+    cache segfaults XLA-CPU mid-suite (observed twice at
+    compilation_cache.get_executable_and_time loading the sharded AT3
+    bytes executable).  Sharded compiles skip the on-disk cache; every
+    other module keeps it."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 def _pcm(s, t, seed=0):
     rng = np.random.default_rng(seed)
     n = np.arange(t)

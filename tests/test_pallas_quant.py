@@ -48,6 +48,32 @@ def test_quant_tensors_equivalent():
     np.testing.assert_allclose(ex, ep, rtol=1e-6)
 
 
+def test_quant_tensors_edge_inputs():
+    """Silent blocks (0/0 -> NaN -> 0 sanitize), all-tiny blocks (e2 == 0
+    at mul > 0 -> inf -> FLT_MAX), and values pinned to the |delta| < 0.25
+    EA candidate boundary must agree exactly between the paths."""
+    rng = np.random.default_rng(3)
+    x = np.zeros((5, 32, 128), np.float32)
+    # row 0: silence; row 1: tiny values that quantize to all-zero
+    x[1] = 1e-6
+    # row 2: exact half-integer multiples of 1/maxq (rounding boundary)
+    x[2] = (np.round(rng.uniform(-15, 15, (32, 128))) + 0.5) / 15.5
+    # row 3: candidates straddling the 0.25 delta boundary at wl 2 (2.5)
+    x[3] = (np.round(rng.uniform(-2, 2, (32, 128)))
+            + rng.choice([0.249, 0.25, 0.251, 0.75], (32, 128))) / 2.5
+    # row 4: dense random
+    x[4] = 0.999 * np.tanh(rng.standard_normal((32, 128)))
+    x = np.clip(x, -0.9999, 0.9999)
+    scaled = jnp.asarray(x * np.asarray(_GATHER_MASK))
+
+    qt_x = bitalloc.quant_tensors(scaled, _GATHER_MASK, use_pallas=False)
+    qt_p = bitalloc.quant_tensors(scaled, _GATHER_MASK, use_pallas=True)
+    assert np.array_equal(np.asarray(qt_x["vlc"]), np.asarray(qt_p["vlc"]))
+    ex, ep = np.asarray(qt_x["err"]), np.asarray(qt_p["err"])
+    assert np.isfinite(ep).all()
+    np.testing.assert_allclose(ex, ep, rtol=1e-6)
+
+
 def test_quant_tensors_full_under_vmap():
     """The batch transcoder vmaps the encoder over streams — the fused
     memo kernel must batch through jax.vmap with identical results."""
