@@ -106,13 +106,49 @@ def _bench_at3p(pcm):
     return s * nframes / (time.perf_counter() - t0)
 
 
+def _ensure_backend(probe_timeout_s=180):
+    """The axon TPU relay can hang indefinitely during device claim (seen
+    2026-08-18: enumeration never returns while the relay is down).  Probe
+    device init in a subprocess first and fall back to CPU on hang/failure
+    so the bench always completes and prints its JSON line."""
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("JAX_PLATFORMS", "axon") == "cpu":
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print("bench: TPU backend unavailable (device claim hung/failed); "
+          "re-execing on CPU", file=sys.stderr)
+    sys.stderr.flush()
+    # the axon site hook (PYTHONPATH) captures its env at interpreter
+    # startup, so mutating os.environ here is too late — re-exec with a
+    # clean env (JAX_PLATFORMS=cpu short-circuits the probe on re-entry)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
+    _ensure_backend()
     import jax
     import jax.numpy as jnp
     from atracdenc_tpu.models.atrac3.encoder import encode_frames
     from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
 
     streams, channels, nframes = 32, 2, 256
+    cpu_fallback = jax.default_backend() == "cpu"
+    if cpu_fallback:
+        # keep the CPU-fallback run finishable on a 1-core host; the
+        # number is a liveness signal, not a TPU measurement
+        streams, nframes = 4, 32
     t = 1024 * nframes
     rng = np.random.default_rng(42)
     n = np.arange(t, dtype=np.float64)
