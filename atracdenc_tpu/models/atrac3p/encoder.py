@@ -411,7 +411,10 @@ def _num_tone_bands(tones):
 def _tonal_section_bits(tones, channels):
     """Bits of the tonal block per frame (WriteTonalBlock dry run,
     at3p_bitstream.cpp:366-520); the 'tonal present' flag itself lives in
-    the constant section."""
+    the constant section.
+
+    Test oracle for the device plane-wise `_tonal_bits_fn` the production
+    path budgets with (tests/test_at3p_device_pack.py pins equality)."""
     from . import frame as fr
     nb = _num_tone_bands(tones)
     bits = np.zeros(nb.shape[0], np.int64)

@@ -33,3 +33,21 @@ def test_at3p_pack_device_byte_identity(channels, use_gha):
     assert ref.shape == dev.shape
     diff = int((ref != dev).sum())
     assert diff == 0, f"{diff}/{ref.size} bytes differ"
+
+
+def test_tonal_bits_device_equals_host_walk():
+    """The numQU shrink budgets with the device plane-wise tonal-bit cost
+    (_tonal_bits_fn); a bug there would shrink to a wrong numQU that BOTH
+    packers would then consume, so byte identity alone cannot catch it —
+    pin it against the per-frame host walk (WriteTonalBlock dry run)."""
+    from atracdenc_tpu.models.atrac3p import encoder as E
+
+    pcm = _tonal_pcm(seconds=0.6, channels=2)
+    planes = E.encode_track(pcm, use_gha=True)
+    tones = planes["tones"]
+    dev = np.asarray(E._tonal_bits_fn(2)(
+        {k: jnp.asarray(v) for k, v in tones.items()}), np.int64)
+    host = E._tonal_section_bits(tones, 2)
+    assert dev.shape == host.shape
+    assert np.array_equal(dev, host)
+    assert host.sum() > 0, "corpus produced no tonal blocks - test is vacuous"
