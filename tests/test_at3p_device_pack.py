@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import pytest
 
 
-def _tonal_pcm(seconds=1.0, channels=2):
+def _tonal_pcm(seconds=0.6, channels=2):
     sr = 44100
     t = np.arange(int(sr * seconds))
     x = (0.5 * np.sin(2 * np.pi * 689.0625 * t / sr)
