@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--bitrate", type=int, default=0, help="kbit/s (ATRAC3)")
     p.add_argument("--container", choices=("aea", "oma", "riff", "rm", "raw"))
     p.add_argument("--bfuidxconst", type=int, default=0)
+    p.add_argument("--bfuidxfast", action="store_true",
+                   help="deprecated no-op (kept for reference CLI parity, "
+                        "main.cpp:565-567)")
     p.add_argument("--notransient", nargs="?", const="", metavar="mask")
     p.add_argument("--nostdout", action="store_true")
     p.add_argument("--notonal", action="store_true")
@@ -198,6 +201,8 @@ def encode_atrac3plus(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.bfuidxfast:
+        print("--bfuidxfast option is deprecated and will be removed.")
     if bool(args.encode) == bool(args.decode):
         sys.exit("Select mode: encode or decode")
 

@@ -193,6 +193,10 @@ def main():
         "unit": "stereo_frames_per_s",
         "vs_baseline": round(fps / REF_FRAMES_PER_S, 2),
         "extra": {
+            # 'cpu' here means the TPU relay was down and the bench
+            # re-execed on the host CPU as a liveness fallback — the
+            # number is NOT a TPU measurement (see _ensure_backend)
+            "platform": jax.default_backend(),
             "at3_fps_xla_rate_ctl": round(fps_xla, 1),
             "at3_fps_pallas_rate_ctl": round(fps_pls, 1),
             "atrac1_units_per_s": round(at1_rate, 1),

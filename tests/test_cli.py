@@ -49,6 +49,14 @@ def test_mode_required(wav_file, tmp_path):
         cli.main(["-i", str(wav_file), "-o", str(tmp_path / "o.aea")])
 
 
+def test_bfuidxfast_deprecated_noop(wav_file, tmp_path, capsys):
+    out = tmp_path / "o.aea"
+    cli.main(["-e", "atrac1", "--bfuidxfast", "-i", str(wav_file),
+              "-o", str(out), "--nostdout"])
+    assert "deprecated" in capsys.readouterr().out
+    assert out.stat().st_size > 0
+
+
 def test_at1_roundtrip_with_notransient(wav_file, tmp_path):
     out = tmp_path / "o.aea"
     cli.main(["-e", "atrac1", "--notransient=2", "-i", str(wav_file),
