@@ -205,7 +205,21 @@ def main(argv=None):
         print("--bfuidxfast option is deprecated and will be removed.")
     if bool(args.encode) == bool(args.decode):
         sys.exit("Select mode: encode or decode")
+    try:
+        _dispatch(args)
+    except SystemExit:
+        raise
+    except OSError as err:
+        # reference: "Aea IO fatal error" / typed IO exceptions
+        # (main.cpp:709-713)
+        sys.exit(f"IO fatal error: {err}")
+    except Exception as err:  # noqa: BLE001 — reference main catches all
+        # std::exception (main.cpp:717-720); corrupt compressed input must
+        # fail with a message, not a traceback
+        sys.exit(f"Encode/Decode error: {err or type(err).__name__}")
 
+
+def _dispatch(args):
     if args.decode:
         # dispatch by content magic: AEA (ATRAC1, reference-compatible) plus
         # OMA / RIFF / RealMedia ATRAC3/ATRAC3+ decoding — a capability

@@ -167,3 +167,42 @@ def test_decode_atrac3plus_oma(wav_file, tmp_path):
     ra = float(np.sqrt((a[:, :n] ** 2).mean()))
     rb = float(np.sqrt((b[:, :n] ** 2).mean()))
     assert rb > 0.5 * ra
+
+
+def test_corrupted_oma_fails_cleanly_or_decodes(wav_file, tmp_path):
+    """Corrupt ATRAC3 compressed input must never escape as a raw
+    traceback: either the (new-capability) decoder copes, or the CLI
+    exits with the reference's "Encode/Decode error" containment
+    (main.cpp:709-720)."""
+    out = tmp_path / "o.oma"
+    cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(out),
+              "--nostdout"])
+    data = bytearray(out.read_bytes())
+    rng = np.random.default_rng(1)
+    for seed_off in range(4):
+        bad = bytearray(data)
+        for off in rng.integers(96, len(bad), 48):
+            bad[off] ^= 0xFF
+        p = tmp_path / f"bad{seed_off}.oma"
+        p.write_bytes(bytes(bad))
+        dec = tmp_path / f"bad{seed_off}.wav"
+        try:
+            cli.main(["-d", "-i", str(p), "-o", str(dec), "--nostdout"])
+        except SystemExit as e:
+            assert "error" in str(e.code).lower()
+
+
+def test_truncated_containers_fail_cleanly(wav_file, tmp_path):
+    """Truncated OMA/RIFF headers and bodies -> clean SystemExit."""
+    out = tmp_path / "t.oma"
+    cli.main(["-e", "atrac3", "-i", str(wav_file), "-o", str(out),
+              "--nostdout"])
+    blob = out.read_bytes()
+    for cut in (10, 90, 100, len(blob) - 7):
+        p = tmp_path / f"cut{cut}.oma"
+        p.write_bytes(blob[:cut])
+        try:
+            cli.main(["-d", "-i", str(p), "-o",
+                      str(tmp_path / f"cut{cut}.wav"), "--nostdout"])
+        except SystemExit as e:
+            assert str(e.code)
