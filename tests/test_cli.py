@@ -206,3 +206,39 @@ def test_truncated_containers_fail_cleanly(wav_file, tmp_path):
                       str(tmp_path / f"cut{cut}.wav"), "--nostdout"])
         except SystemExit as e:
             assert str(e.code)
+
+
+def test_decode_atrac3_lp4_joint_stereo(wav_file, tmp_path):
+    """LP4 (66.15 kbit/s joint stereo) end-to-end: the OMA params word
+    carries the JS bit and -d routes it into the M/S decode path."""
+    from atracdenc_tpu.io import audio
+    enc = tmp_path / "js.oma"
+    cli.main(["-e", "atrac3_lp4", "-i", str(wav_file), "-o", str(enc),
+              "--nostdout"])
+    dec = tmp_path / "js.wav"
+    cli.main(["-d", "-i", str(enc), "-o", str(dec), "--nostdout"])
+    a, _ = audio.read(str(wav_file))
+    b, rate = audio.read(str(dec))
+    assert rate == 44100 and b.shape[0] == 2
+    n = min(a.shape[1], b.shape[1])
+    ra = float(np.sqrt((a[:, :n] ** 2).mean()))
+    rb = float(np.sqrt((b[:, :n] ** 2).mean()))
+    assert rb > 0.5 * ra, (ra, rb)
+
+
+@pytest.mark.slow
+def test_corrupted_at3p_oma_fails_cleanly_or_decodes(wav_file, tmp_path):
+    enc = tmp_path / "pf.oma"
+    cli.main(["-e", "atrac3plus", "-i", str(wav_file), "-o", str(enc),
+              "--nostdout"])
+    data = bytearray(enc.read_bytes())
+    rng = np.random.default_rng(7)
+    for off in rng.integers(96, len(data), 96):
+        data[off] ^= 0xFF
+    bad = tmp_path / "pf_bad.oma"
+    bad.write_bytes(bytes(data))
+    try:
+        cli.main(["-d", "-i", str(bad), "-o",
+                  str(tmp_path / "pf_bad.wav"), "--nostdout"])
+    except SystemExit as e:
+        assert str(e.code)
