@@ -37,7 +37,12 @@ def dequantize(parsed_channels):
                 s, n = T.SPECS_START[i], T.SPECS_PER_BLOCK[i]
                 specs[ci, fi, s:s + n] = r["mant"][i, :n] / mul * sf
             for tc in r["tonal"]:
+                # quant < 2 cannot come from our encoder (clamped 2..7)
+                # but corrupt input can parse to 0 -> MAX_QUANT 0: treat
+                # the block as silent instead of dividing by zero
                 mul = T.MAX_QUANT[tc["quant"]]
+                if not mul:
+                    continue
                 sf = T.SCALE_TABLE[tc["sfi"]]
                 pos = tc["pos"]
                 vals = np.asarray(tc["mant"], np.float32) / mul * sf
@@ -65,7 +70,11 @@ def decode_frames(specs, gain_np, gain_lev, gain_loc, js=False):
     # tree's x4 exactly cancels the encoder's /4 input scaling
     pcm = filterbank.synthesis(band_sig)
     pcm = np.asarray(pcm)[..., _DELAY:]
-    return np.clip(pcm, -1.0, 1.0)
+    # corrupt input can smuggle non-finite values through the transforms;
+    # the int16 writer must never see them (reference clips decoded PCM,
+    # atrac1denc.cpp:166-173 — non-finite becomes silence here)
+    return np.clip(np.nan_to_num(pcm, nan=0.0, posinf=1.0, neginf=-1.0),
+                   -1.0, 1.0)
 
 
 def decode_track(frames: np.ndarray, channels=2, js=False) -> np.ndarray:

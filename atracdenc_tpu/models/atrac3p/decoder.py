@@ -56,4 +56,8 @@ def decode_track(frames: np.ndarray, channels: int) -> np.ndarray:
         bands[:, 1:, :gha.NUM_TONE_SUBBANDS, :] += synth[:, :-1]
     stream = np.swapaxes(bands, 1, 2).reshape(channels, 16, -1)
     pcm = np.stack([pqf.ipqf_np(stream[ch]) for ch in range(channels)])
-    return np.clip(pcm[:, pqf.PQF_DELAY_SAMPLES:], -1.0, 1.0)
+    # non-finite values from corrupt input decode as silence (the int16
+    # writer must never see NaN/inf)
+    return np.clip(np.nan_to_num(pcm[:, pqf.PQF_DELAY_SAMPLES:],
+                                 nan=0.0, posinf=1.0, neginf=-1.0),
+                   -1.0, 1.0)

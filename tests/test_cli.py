@@ -190,6 +190,15 @@ def test_corrupted_oma_fails_cleanly_or_decodes(wav_file, tmp_path):
             cli.main(["-d", "-i", str(p), "-o", str(dec), "--nostdout"])
         except SystemExit as e:
             assert "error" in str(e.code).lower()
+            continue
+        # when the decode succeeds the PCM must be finite and in range
+        # (corrupt tonal quantizers used to smuggle NaN into the writer)
+        from atracdenc_tpu.containers import oma
+        from atracdenc_tpu.models.atrac3.decoder import decode_track
+        frames, info = oma.read(str(p))
+        pcm = decode_track(frames, channels=info["channels"],
+                           js=info["joint_stereo"])
+        assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 1.0
 
 
 def test_truncated_containers_fail_cleanly(wav_file, tmp_path):
