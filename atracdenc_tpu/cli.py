@@ -56,9 +56,9 @@ def build_parser():
     p.add_argument("--nogaincontrol", action="store_true")
     p.add_argument("--advanced", default="")
     p.add_argument("--exact", action="store_true",
-                   help="ATRAC1 encode only: reference-float-semantics path "
-                        "(byte-identical to the reference binary; slower "
-                        "than the TPU path)")
+                   help="ATRAC1/ATRAC3 encode: reference-float-semantics "
+                        "path (byte-identical to the reference binary; "
+                        "slower than the TPU path)")
     p.add_argument("--yaml-log", dest="yaml_log")
     return p
 

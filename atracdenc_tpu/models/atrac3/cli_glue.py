@@ -46,11 +46,21 @@ def encode_file(args, lp4=False):
     progress = None
     if not args.nostdout:
         from atracdenc_tpu.utils.progress import print_progress as progress
-    planes = encode_track(pcm, frame_bytes=frame_size, js=js,
-                          no_gain_control=args.nogaincontrol,
-                          no_tonal=args.notonal,
-                          bfu_idx_const=args.bfuidxconst,
-                          progress=progress)
+    if getattr(args, "exact", False):
+        # reference-float-semantics path: byte-identical to the reference
+        # binary in every mode (tests/test_at3_exact.py); slower than the
+        # TPU path
+        from .exact_enc import encode_track_exact
+        planes = encode_track_exact(pcm, frame_bytes=frame_size, js=js,
+                                    no_gain=args.nogaincontrol,
+                                    no_tonal=args.notonal,
+                                    bfu_idx_const=args.bfuidxconst)
+    else:
+        planes = encode_track(pcm, frame_bytes=frame_size, js=js,
+                              no_gain_control=args.nogaincontrol,
+                              no_tonal=args.notonal,
+                              bfu_idx_const=args.bfuidxconst,
+                              progress=progress)
     _warn_clipping(planes)
     frames = at3_frame.pack(planes, frame_size, js=js)
 

@@ -251,3 +251,21 @@ def test_corrupted_at3p_oma_fails_cleanly_or_decodes(wav_file, tmp_path):
                   str(tmp_path / "pf_bad.wav"), "--nostdout"])
     except SystemExit as e:
         assert str(e.code)
+
+
+@pytest.mark.slow
+def test_at3_exact_flag_roundtrip(wav_file, tmp_path):
+    """--exact routes atrac3 encodes through the reference-float-semantics
+    encoder; output must decode like the fast path's."""
+    from atracdenc_tpu.io import audio
+    enc = tmp_path / "x.oma"
+    cli.main(["-e", "atrac3", "--exact", "-i", str(wav_file), "-o",
+              str(enc), "--nostdout"])
+    dec = tmp_path / "x.wav"
+    cli.main(["-d", "-i", str(enc), "-o", str(dec), "--nostdout"])
+    a, _ = audio.read(str(wav_file))
+    b, _ = audio.read(str(dec))
+    n = min(a.shape[1], b.shape[1])
+    ra = float(np.sqrt((a[:, :n] ** 2).mean()))
+    rb = float(np.sqrt((b[:, :n] ** 2).mean()))
+    assert rb > 0.5 * ra
