@@ -114,17 +114,11 @@ def encode_atrac1(args):
                                     window_mode=window_mode,
                                     window_mask=window_mask)
     else:
+        from atracdenc_tpu.utils.operator_log import warn_clipping
         planes = encode_track(pcm, bfu_idx_const=args.bfuidxconst,
                               window_mode=window_mode,
                               window_mask=window_mask, progress=progress)
-        # scale-clip operator warning (atrac_scale.cpp:150-167 prints per
-        # value; the batched pipeline aggregates)
-        clip_count = int(np.asarray(planes.pop("clip_count")).sum())
-        clip_max = float(np.asarray(planes.pop("clip_max")).max())
-        if clip_count:
-            print(f"Scale error: absSpec > MAX_SCALE, max val: "
-                  f"{clip_max:.6f} ({clip_count} clipped spectral values)",
-                  file=sys.stderr)
+        warn_clipping(planes, pop=True)
     frames = at1_frame.pack(_merge_channel_planes(planes))
 
     container = args.container or _container_from_ext(args.outfile, "atrac1")
@@ -216,7 +210,7 @@ def main(argv=None):
     except Exception as err:  # noqa: BLE001 — reference main catches all
         # std::exception (main.cpp:717-720); corrupt compressed input must
         # fail with a message, not a traceback
-        sys.exit(f"Encode/Decode error: {err or type(err).__name__}")
+        sys.exit(f"Encode/Decode error: {str(err) or type(err).__name__}")
 
 
 def _dispatch(args):

@@ -81,9 +81,14 @@ def read(path):
         elif cid == b"DATA":
             npkts = struct.unpack(">I", blob[pos + 10:pos + 14])[0]
             payload = blob[pos + 18: pos + size]
+        if size <= 0:
+            # corrupt size field would otherwise spin this walk forever
+            raise ValueError(f"RealMedia chunk {cid!r} with size {size}")
         pos += size
     if frame_size is None or payload is None:
         raise ValueError("RealMedia file lacks MDPR/DATA chunks")
+    if frame_size <= 0 or frame_size % 8:
+        raise ValueError(f"RealMedia MDPR with bogus frame size {frame_size}")
 
     key = np.array([0x53, 0x7F, 0x61, 0x03], np.uint8)
     # packet = 10-byte header (ver, len, stream, ts) + 2 flag bytes + frames

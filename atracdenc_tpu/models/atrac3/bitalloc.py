@@ -91,7 +91,8 @@ def _plain_costs_pallas(scaled, valid_mask):
     from atracdenc_tpu.ops.pallas_quant import quant_cost_plain
 
     interpret = jxb.get_backend().platform != "tpu"
-    err, vlc_single = quant_cost_plain(scaled, interpret=interpret)
+    err, vlc_single = quant_cost_plain(scaled, valid_mask,
+                                       interpret=interpret)
     # wl==1 plain mantissas for the pair codebook (one cheap XLA lane)
     t1 = scaled * _MAXQ[1]
     pair1 = jnp.where(valid_mask, jnp.round(t1), 0.0).astype(jnp.int32)
@@ -386,6 +387,12 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
     """
     if use_pallas is None:
         use_pallas = _PALLAS_DEFAULT
+    if use_pallas and tonal_bits_fn is not None and tonal_planes is None:
+        # the kernel computes the tonal dry-run from tonal_planes, not the
+        # closure; silently substituting the empty-tonal cost would give
+        # different wordlens than the XLA path — honor the caller's cost
+        # function on the XLA path instead
+        use_pallas = False
     if tonal_counts is None:
         tonal_counts = jnp.zeros(sfi.shape, jnp.int32)
     if tonal_bits_fn is None:

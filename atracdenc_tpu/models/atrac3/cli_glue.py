@@ -9,16 +9,7 @@ import sys
 from . import tables as T
 
 
-def _warn_clipping(planes):
-    """Aggregate of the reference's per-value scale warnings
-    (atrac_scale.cpp:150-167): |spec| > MAX_SCALE means the scaler clamped
-    and clipped mantissas for that frame."""
-    import numpy as np
-    count = np.asarray(planes.get("clip_count", 0)).sum()
-    if count:
-        mx = float(np.asarray(planes["clip_max"]).max())
-        print(f"Scale error: absSpec > MAX_SCALE, val: {mx:g} "
-              f"({int(count)} clipped spectral values)", file=sys.stderr)
+from atracdenc_tpu.utils.operator_log import warn_clipping as _warn_clipping
 
 
 def encode_file(args, lp4=False):

@@ -307,9 +307,10 @@ def quant_cost_full(scaled, valid_mask, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def quant_cost_plain(scaled, interpret=False):
-    """scaled [..., 32, 128] f32 -> (err [..., 32, 8] f32,
-    vlc [..., 32, 8] i32): plain-rounding costs for all 8 wordlens.
+def quant_cost_plain(scaled, valid_mask=None, interpret=False):
+    """scaled [..., 32, 128] f32, valid_mask [32, 128] (default: the BFU
+    gather mask) -> (err [..., 32, 8] f32, vlc [..., 32, 8] i32):
+    plain-rounding costs for all 8 wordlens.
 
     The EA refinement region and the wl==1 pair codebook are layered on top
     by bitalloc.quant_tensors exactly as in the XLA path.
@@ -324,8 +325,10 @@ def quant_cost_plain(scaled, interpret=False):
             [x, jnp.zeros((pad, 32, 128), x.dtype)], axis=0)
     grid = (x.shape[0] // rows,)
 
-    from atracdenc_tpu.models.atrac3.encoder import _GATHER_MASK
-    mask = jnp.asarray(np.asarray(_GATHER_MASK) > 0, jnp.int32)
+    if valid_mask is None:
+        from atracdenc_tpu.models.atrac3.encoder import _GATHER_MASK
+        valid_mask = np.asarray(_GATHER_MASK) > 0
+    mask = jnp.asarray(valid_mask).astype(jnp.int32)
     kernel = functools.partial(_kernel, maxq=np.asarray(T.MAX_QUANT))
 
     err, vlc = pl.pallas_call(

@@ -69,6 +69,11 @@ def local_batch_slice(global_streams, mesh):
     """(start, count) of the stream axis this process contributes."""
     import jax
     dp = mesh.shape["dp"]
+    if global_streams % dp:
+        raise ValueError(
+            f"global_streams={global_streams} must divide the dp axis "
+            f"({dp}); pad the batch — a floor split would silently drop "
+            f"the last {global_streams % dp} stream(s)")
     per = global_streams // dp
     # which dp rows live on this process
     rows = sorted({i for (i, _), d in np.ndenumerate(mesh.devices)
@@ -100,7 +105,13 @@ def encode_batch_global(local_pcm, mesh, frame_bytes=384, js=False):
 
     fn = jax.jit(enc, in_shardings=in_sharding, out_shardings=out_sharding)
     out = fn(garr)
-    # collect this process's shards
-    local = [np.asarray(s.data) for s in out.addressable_shards]
-    idx = np.argsort([s.index[0].start or 0 for s in out.addressable_shards])
-    return np.concatenate([local[i] for i in idx], axis=0)
+    # collect this process's shards; P("dp") output is REPLICATED over the
+    # sp axis, so each dp-row shard appears sp times among the addressable
+    # shards — dedup by stream-axis start or every track's frames would be
+    # concatenated sp-fold
+    seen = {}
+    for s in out.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)

@@ -64,3 +64,47 @@ def test_reference_containers_decode():
     pcm = decode_track(frames, channels=2, js=info["joint_stereo"])
     assert pcm.shape[0] == 2
     assert float(np.abs(pcm).max()) > 0.01
+
+
+def test_rm_zero_size_chunk_raises_not_hangs():
+    """A corrupt chunk size of 0 must raise, not spin the chunk walk
+    forever (regression: pos += 0)."""
+    import struct
+    import numpy as np
+    import pytest
+    from atracdenc_tpu.containers import rm
+
+    frames = np.zeros((3, 192), np.uint8)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.rm")
+        rm.write(p, frames, 192)
+        blob = bytearray(open(p, "rb").read())
+        # zero out the PROP chunk's size field (first chunk after .RMF)
+        pos = blob.index(b"PROP")
+        blob[pos + 4:pos + 8] = struct.pack(">I", 0)
+        bad = os.path.join(d, "bad.rm")
+        open(bad, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="size 0"):
+            rm.read(bad)
+
+
+def test_rm_bogus_frame_size_raises():
+    import struct
+    import numpy as np
+    import pytest
+    from atracdenc_tpu.containers import rm
+
+    frames = np.zeros((3, 192), np.uint8)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.rm")
+        rm.write(p, frames, 192)
+        blob = bytearray(open(p, "rb").read())
+        # RA5 codec data: frame size lives 48 bytes into the blob
+        pos = blob.index(b".ra\xfd") - 4
+        blob[pos + 48:pos + 50] = struct.pack(">H", 0)
+        bad = os.path.join(d, "bad.rm")
+        open(bad, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="frame size"):
+            rm.read(bad)

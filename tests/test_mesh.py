@@ -60,3 +60,25 @@ def test_at1_planes_sharded_equal_unsharded(dp, sp):
     out = M.encode_batch_sharded(jnp.asarray(pcm), _mesh(dp, sp))
     for k in ref:
         assert np.array_equal(np.asarray(ref[k]), np.asarray(out[k])), k
+
+
+def test_encode_batch_global_dedups_replicated_shards():
+    """P('dp') output is replicated over the sp axis: with sp > 1 each
+    dp-row shard appears sp times among addressable_shards — the collector
+    must return each stream exactly once (regression: rows duplicated
+    sp-fold)."""
+    from atracdenc_tpu.parallel import distributed as D
+
+    pcm = _pcm(4, 1024 * 2, seed=2)
+    mesh = _mesh(4, 2)
+    out = D.encode_batch_global(pcm, mesh)
+    assert out.shape[0] == 4
+    ref = D.encode_batch_global(pcm, _mesh(1, 1))
+    assert (out == ref).all()
+
+
+def test_local_batch_slice_rejects_indivisible():
+    from atracdenc_tpu.parallel import distributed as D
+
+    with pytest.raises(ValueError, match="divide the dp axis"):
+        D.local_batch_slice(7, _mesh(4, 2))

@@ -65,21 +65,19 @@ def compute_hashes():
         frames = jax.vmap(lambda p: encode_frames_bytes(p, **kw))(x3)
         out[name] = h(jax.device_get(frames))
 
+    from atracdenc_tpu.cli import _merge_channel_planes
     from atracdenc_tpu.models.atrac1.encoder import encode_frames as at1_enc
     from atracdenc_tpu.models.atrac1 import frame as at1_frame
     x1 = pcm[0][:, : pcm.shape[-1] - pcm.shape[-1] % 512]
     planes1 = jax.device_get(at1_enc(jnp.asarray(x1)))
-    out["at1"] = h(at1_frame.pack(planes1))
+    for k in ("clip_count", "clip_max"):
+        planes1.pop(k, None)
+    out["at1"] = h(at1_frame.pack(_merge_channel_planes(planes1)))
 
-    try:
-        from atracdenc_tpu.models.atrac3p.encoder import encode_track as at3p_enc
-        from atracdenc_tpu.models.atrac3p import frame as at3p_frame
-        res = at3p_enc(pcm[0])
-        fr = at3p_frame.pack(res) if not isinstance(res, (bytes, np.ndarray)) \
-            else res
-        out["at3p"] = h(np.asarray(fr))
-    except Exception as e:  # AT3P API may shift during the round
-        out["at3p"] = f"error:{type(e).__name__}"
+    from atracdenc_tpu.models.atrac3p.encoder import encode_track as at3p_enc
+    from atracdenc_tpu.models.atrac3p import frame as at3p_frame
+    planes_p = at3p_enc(pcm[0][:, : pcm.shape[-1] - pcm.shape[-1] % 2048])
+    out["at3p"] = h(at3p_frame.pack(planes_p, pcm.shape[1]))
     return out
 
 
