@@ -78,15 +78,10 @@ _LOUD_CURVE = _loudness_curve_1024()
 
 
 def _at3_ath():
-    """TAtrac3BitStreamWriter ctor ATH (atrac3_bitstream.cpp:706-720);
-    reuses the Frank formula via the AT1 module."""
-    from atracdenc_tpu.models.atrac1.exact_enc import _at1_ath  # noqa: F401
-    from atracdenc_tpu.models.atrac1 import exact_enc as EE1
-    # CalcATH(1024, 44100)
+    """TAtrac3BitStreamWriter ctor ATH (atrac3_bitstream.cpp:706-720):
+    CalcATH(1024, 44100) with the Frank table re-implemented locally."""
     mf = f32(44100.0 / 2000.0)
     spec = np.empty(1024, f32)
-    tabf = EE1._at1_ath.__globals__  # reuse frank via a local re-impl
-    # re-implement Frank here to avoid reaching into AT1 internals
     tab = np.asarray([
         9669, 9669, 9626, 9512, 9353, 9113, 8882, 8676,
         8469, 8243, 7997, 7748, 7492, 7239, 7000, 6762,
@@ -624,7 +619,7 @@ def _gain_mdct(bands_ext, nf):
                 nxt = bands_ext[ci, fi + 1, band, :128]
                 ups.append(np.concatenate(
                     [prev_tail, bands_ext[ci, fi, band], nxt]))
-            curves = G.create_subband_info(ups, None, None, ctxs[ci])
+            curves = G.create_subband_info(ups, ctxs[ci])
             curves_all[ci][fi] = curves
 
             spec_frame = np.empty(1024, f32)
@@ -753,6 +748,7 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
     gain_levels_out = np.zeros((c, nf, 4, 8), np.int32)
     gain_locs_out = np.zeros((c, nf, 4, 8), np.int32)
     loudness_state = f32(0.006)                      # TAtrac3Data::LoudFactor
+    loud_out = np.zeros((nf,), f32)
 
     ms_shift_out = np.zeros((nf,), np.int32)
     for fi in range(nf):
@@ -765,6 +761,7 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
             loudness_state = f32(0.98 * np.float64(loudness_state)
                                  + 0.02 * np.float64(loud_frames[0, fi]))
         loud = f32(loudness_state / f32(0.006))
+        loud_out[fi] = loud
 
         if js:
             # per-channel budgets with the M/S byte shift
@@ -774,11 +771,10 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
                 if ci < c:
                     curves = curves_all[ci][fi]
                     gain_bits = sum(3 + 9 * len(curves[b]) for b in range(4))
-                    nqmf = 4
                 else:
                     gain_bits = 3                    # 1 empty band list
-                    nqmf = 1
                 ident = 14 if ci == 1 else 6        # WriteJsParams + 2 | 0x28
+                # + 2 = the 2-bit numQmfBand field
                 h.append(ident + 2 + gain_bits)
             total_used = 12 + h[0] + h[1]
             max_shift = half - (total_used + 7) // 8
@@ -859,7 +855,7 @@ def encode_track_exact(pcm, frame_bytes=384, bfu_idx_const=0,
         "gain_npoints": gain_npoints_out.astype(np.int8),
         "gain_levels": gain_levels_out.astype(np.int8),
         "gain_locs": gain_locs_out.astype(np.int8),
-        "loudness": np.zeros((nf,), f32),
+        "loudness": loud_out,
         "ms_shift": ms_shift_out,
     }
     if not no_tonal:

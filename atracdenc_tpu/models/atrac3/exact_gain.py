@@ -310,7 +310,7 @@ class CurveCtx:
         self.last_hpf_energy = f32(0.0)
 
 
-def calc_curve(vals, ctx, next_level, min_score, low, high):
+def calc_curve(vals, ctx, min_score, low, high):
     """CalcCurve (transient_detector.cpp:276-482).  vals/low/high: [32]
     f32; mutates ctx; returns [(level, loc)]."""
     curve = []
@@ -533,12 +533,11 @@ def _limit_rel(x):
     return min(max(f32(x), GAIN_LEVEL[15]), GAIN_LEVEL[0])
 
 
-def create_subband_info(up_inputs, prev_overlaps, cur_inputs, curve_ctx):
+def create_subband_info(up_inputs, curve_ctx):
     """CreateSubbandInfo for one channel-frame (atrac3denc.cpp:299-578).
 
     up_inputs [4][512] (prev128|cur256|next128 per band, already /4 input
-    domain), prev_overlaps [4][256] (stored windowed halves), cur_inputs
-    [4][256]; curve_ctx: list of 4 CurveCtx.  Returns curves: list of 4
+    domain); curve_ctx: list of 4 CurveCtx.  Returns curves: list of 4
     [(level, loc)] lists."""
     curves = [[] for _ in range(4)]
     for band in range(4):
@@ -547,7 +546,6 @@ def create_subband_info(up_inputs, prev_overlaps, cur_inputs, curve_ctx):
             curve_ctx[band].last_level = f32(0.0)
             continue
         gain, glow, ghigh = analyze_gain(sig[1024:3072], 32, True)
-        next_level = analyze_gain(sig[3072:3072 + 64], 1, False)[0][0]
 
         cur_hpf = f32(0.0)
         for v in gain:
@@ -562,7 +560,7 @@ def create_subband_info(up_inputs, prev_overlaps, cur_inputs, curve_ctx):
         dyn_min_score = f32(f32(1.9) * overlap_factor)
 
         prev_target = curve_ctx[band].last_target
-        pts = calc_curve(gain, curve_ctx[band], next_level, dyn_min_score,
+        pts = calc_curve(gain, curve_ctx[band], dyn_min_score,
                          glow, ghigh)
         cur_target = curve_ctx[band].last_target
         if not pts:

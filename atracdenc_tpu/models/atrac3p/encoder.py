@@ -70,31 +70,21 @@ def _qu_table_cost(mant, qu, tab_idx):
 
 
 def _wordlen_section_bits():
-    """[33] bits of the ch0 wordlen section per numQU (the wordlens are the
-    fixed table, so the section cost is a constant per numQU;
-    TWordLenEncoder, at3p_bitstream.cpp:156-247)."""
-    out = np.zeros(33, np.int64)
-    wl = T.FIXED_WORDLEN
+    """([33], [33]) ch0/ch1 wordlen-section bits per numQU, summed from
+    the PACKER's own field widths so the numQU-shrink budget can never
+    drift from what frame.pack actually writes (the wordlens are the
+    fixed table, so the cost is constant per numQU; TWordLenEncoder,
+    at3p_bitstream.cpp:156-247)."""
+    from . import frame as fr
+    ch0 = np.zeros(33, np.int64)
+    ch1 = np.zeros(33, np.int64)
     for nq in range(1, 33):
-        deltas = np.diff(wl[:nq])
-        max_d = int(np.abs(deltas).max(initial=0))
-        if max_d >= 3:
-            rng = (2, 3)
-        elif max_d == 2:
-            rng = (1, 1)
-        else:
-            rng = (0, 0)
-        best = min(range(rng[0], rng[1] + 1),
-                   key=lambda i: T.WL_LEN[i][deltas & 7].sum())
-        bits = 2 + 2 + 2 + 2 + 3 + int(T.WL_LEN[best][deltas & 7].sum())
-        out[nq] = bits
-    return out
+        ch0[nq] = sum(w for _, w in fr._wl_fields(nq))
+        ch1[nq] = sum(w for _, w in fr._wl_fields_ch1(nq))
+    return ch0, ch1
 
 
-_WL_BITS_CH0 = _wordlen_section_bits()
-# inter-channel deltas are all zero (both channels share the fixed table):
-# header 2+2+2 bits + numQU codes from table 0 for delta 0
-_WL_BITS_CH1 = 6 + T.WL_LEN[0][0] * np.arange(33)
+_WL_BITS_CH0, _WL_BITS_CH1 = _wordlen_section_bits()
 
 
 def _const_bits(channels):

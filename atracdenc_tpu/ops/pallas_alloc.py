@@ -154,6 +154,16 @@ def _kernel(csfi_ref, gated_ref, tcounts_ref, spread_ref, target_ref,
         fix=fix, xdiv=xdiv, iota32=iota32, iota8=iota8, bids=bids)
     target = target_ref[...]
 
+    last_l = _run_bisection(ev, target, lo=-8.0, hi=20.0, rows=rows)
+    wl, _ = ev(last_l)
+    wl_ref[...] = wl
+
+
+def _run_bisection(ev, target, *, lo, hi, rows):
+    """The λ-bisection both kernels share (±0.01 shrink, keep the last
+    under-budget λ, exact-hit interval collapse — bs_encode/encode.cpp:
+    57-98, pinned bit-equal to bitalloc._bisect by tests/test_pallas_*).
+    `ev(λ) -> (wl, bits)`; returns the final λ per row."""
     def step(_, carry):
         min_l, max_l, last_l = carry
         active = max_l > min_l
@@ -168,12 +178,11 @@ def _kernel(csfi_ref, gated_ref, tcounts_ref, spread_ref, target_ref,
         max_l = jnp.where(active & exact, min_l, max_l)
         return min_l, max_l, last_l
 
-    init = (jnp.full((rows, 1), -8.0, jnp.float32),
-            jnp.full((rows, 1), 20.0, jnp.float32),
-            jnp.full((rows, 1), 20.0, jnp.float32))
+    init = (jnp.full((rows, 1), lo, jnp.float32),
+            jnp.full((rows, 1), hi, jnp.float32),
+            jnp.full((rows, 1), hi, jnp.float32))
     _, _, last_l = jax.lax.fori_loop(0, _BISECT_STEPS, step, init)
-    wl, _ = ev(last_l)
-    wl_ref[...] = wl
+    return last_l
 
 
 def _at1_eval(shift, *, sfi_f, fix, bias, gated, in_use, specs):
@@ -190,27 +199,10 @@ def _at1_eval(shift, *, sfi_f, fix, bias, gated, in_use, specs):
 
 
 def _at1_bisect(target, *, sfi_f, fix, bias, gated, in_use, specs, rows):
-    def step(_, carry):
-        min_l, max_l, last_l = carry
-        active = max_l > min_l
-        cur = (max_l + min_l) * 0.5
-        _, bits = _at1_eval(cur, sfi_f=sfi_f, fix=fix, bias=bias,
-                            gated=gated, in_use=in_use, specs=specs)
-        under = bits < target
-        over = bits > target
-        exact = ~under & ~over
-        last_l = jnp.where(active & (under | exact), cur, last_l)
-        max_l = jnp.where(active & under, cur - 0.01, max_l)
-        min_l = jnp.where(active & over, cur + 0.01, min_l)
-        max_l = jnp.where(active & exact, min_l, max_l)
-        return min_l, max_l, last_l
-
-    init = (jnp.full((rows, 1), -3.0, jnp.float32),
-            jnp.full((rows, 1), 15.0, jnp.float32),
-            jnp.full((rows, 1), 15.0, jnp.float32))
-    _, _, last_l = jax.lax.fori_loop(0, _BISECT_STEPS, step, init)
-    wl, _ = _at1_eval(last_l, sfi_f=sfi_f, fix=fix, bias=bias,
-                      gated=gated, in_use=in_use, specs=specs)
+    ev = functools.partial(_at1_eval, sfi_f=sfi_f, fix=fix, bias=bias,
+                           gated=gated, in_use=in_use, specs=specs)
+    last_l = _run_bisection(ev, target, lo=-3.0, hi=15.0, rows=rows)
+    wl, _ = ev(last_l)
     return wl
 
 
