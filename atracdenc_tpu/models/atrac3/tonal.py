@@ -65,26 +65,32 @@ def extract(specs, flatness):
 
     # score[start, len] = sum_{k < len} |spec[start+k]| via shifted cumsums
     # (static slices per run length); out-of-block candidates are invalid.
+    # C picks the first strictly-greater candidate in (start asc, len asc)
+    # order (atrac3denc.cpp:610-621).  Reducing per run length and folding
+    # the 5 candidates keeps that order — max score, then min start, then
+    # min len — without ever materializing the [..., 32, 128, 5] score
+    # tensor (10 GB at a 32-stream batch; each per-length plane is an
+    # elementwise view of the cumsum that XLA fuses into the argmax).
     cum = jnp.cumsum(absb, axis=-1)                       # [..., 32, 128]
     pad = jnp.pad(cum, [(0, 0)] * (cum.ndim - 1) + [(1, 0)])
-    lens = jnp.arange(1, MAX_TONAL_LEN + 1)
     starts = jnp.arange(128)
-    # score[..., start, L-1] = cum[start+L-1] - cum[start-1]
-    score = jnp.stack(
-        [jnp.pad(pad[..., ln:], [(0, 0)] * (cum.ndim - 1) + [(0, ln - 1)],
-                 constant_values=0)[..., :128] - pad[..., :-1]
-         for ln in range(1, MAX_TONAL_LEN + 1)], axis=-1)
-    valid = (starts[:, None] + lens[None, :]
-             <= jnp.asarray(T.SPECS_PER_BLOCK)[:, None, None])
-    score = jnp.where(valid, score, -1.0)
-
-    # C picks the first strictly-greater (start asc, len asc) -> row-major
-    # argmax matches the iteration order (atrac3denc.cpp:610-621)
-    flat = score.reshape(score.shape[:-2] + (-1,))
-    best = jnp.argmax(flat, axis=-1)
-    best_score = jnp.take_along_axis(flat, best[..., None], axis=-1)[..., 0]
-    best_start = best // MAX_TONAL_LEN                    # within block
-    best_len = best % MAX_TONAL_LEN + 1
+    spb = jnp.asarray(T.SPECS_PER_BLOCK)
+    best_score = jnp.full(cum.shape[:-1], -1.0, cum.dtype)
+    best_start = jnp.zeros(cum.shape[:-1], jnp.int32)
+    best_len = jnp.ones(cum.shape[:-1], jnp.int32)
+    for ln_i in range(1, MAX_TONAL_LEN + 1):
+        # score_L[..., start] = cum[start+L-1] - cum[start-1]
+        s = jnp.pad(pad[..., ln_i:],
+                    [(0, 0)] * (cum.ndim - 1) + [(0, ln_i - 1)],
+                    constant_values=0)[..., :128] - pad[..., :-1]
+        s = jnp.where(starts + ln_i <= spb[:, None], s, -1.0)
+        idx = jnp.argmax(s, axis=-1).astype(jnp.int32)    # first == min start
+        sc = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        # len ascends, so equal (score, start) keeps the earlier length
+        better = (sc > best_score) | ((sc == best_score) & (idx < best_start))
+        best_score = jnp.where(better, sc, best_score)
+        best_start = jnp.where(better, idx, best_start)
+        best_len = jnp.where(better, ln_i, best_len)
 
     active = gate & (best_score > 0.0)
     start_abs = jnp.asarray(T.SPECS_START) + best_start
@@ -98,8 +104,11 @@ def extract(specs, flatness):
     sel = (k128[None, :] - best_start[..., None])         # [..., 32, 128]
     run_mask = active[..., None] & (sel >= 0) \
         & (sel < ln[..., None])                           # [..., 32, 128]
-    oh = (sel[..., None, :] == offs[:, None]) & run_mask[..., None, :]
-    vals = jnp.sum(jnp.where(oh, blocks[..., None, :], 0.0), axis=-1)
+    # at most one nonzero per (bfu, k) slot, so each masked sum is exact;
+    # looping the 5 offsets avoids the [..., 32, 5, 128] one-hot temp
+    vals = jnp.stack(
+        [jnp.sum(jnp.where((sel == k) & run_mask, blocks, 0.0), axis=-1)
+         for k in range(MAX_TONAL_LEN)], axis=-1)
     vals = jnp.where(in_run, vals, 0.0)
 
     # zero the lifted runs out of the spectrum (atrac3denc.cpp:635-639)
