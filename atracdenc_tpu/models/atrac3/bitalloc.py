@@ -408,7 +408,7 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
 
     if use_pallas:
         import jax.extend.backend as jxb
-        from atracdenc_tpu.ops.pallas_alloc import bisect_block
+        from atracdenc_tpu.ops.pallas_rate import rate_control_block
 
         interpret = jxb.get_backend().platform != "tpu"
         csfi, gated = csfi_gated(sfi, gain_scale, energy, loudness)
@@ -423,16 +423,16 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
             t_bfu = tonal_planes["bfu"].astype(jnp.int32)
             t_vlc = tonal_planes["vlc_cost"].astype(jnp.int32)
 
-        def run_bisect(num_bfu):
-            return bisect_block(csfi, gated, tonal_counts, spread,
-                                target_bits, num_bfu, qt["err"], qt["clc"],
-                                qt["vlc"], t_active, t_pos, t_len, t_bfu,
-                                t_vlc, interpret=interpret)
-    else:
-        def run_bisect(num_bfu):
-            return _bisect(sfi, gain_scale, energy, spread, num_bfu,
-                           loudness, tonal_counts, tonal_bits_fn, qt,
-                           target_bits)
+        num_bfu = jnp.broadcast_to(num_bfu, spread.shape)
+        return rate_control_block(
+            csfi, gated, tonal_counts, spread, target_bits, num_bfu,
+            qt["err"], qt["clc"], qt["vlc"], t_active, t_pos, t_len,
+            t_bfu, t_vlc, auto=(bfu_idx_const == 0), interpret=interpret)
+
+    def run_bisect(num_bfu):
+        return _bisect(sfi, gain_scale, energy, spread, num_bfu,
+                       loudness, tonal_counts, tonal_bits_fn, qt,
+                       target_bits)
 
     def one_round(num_bfu):
         wl = run_bisect(num_bfu)

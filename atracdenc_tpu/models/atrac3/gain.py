@@ -380,12 +380,13 @@ def _keep_to_points(sf_level, keep):
     keep[sf] marks a point at loc = sf+1 with level sf_level[sf]; ascending
     loc order is position order."""
     n = jnp.sum(keep, axis=-1)
-    order = jnp.argsort(jnp.where(keep, jnp.arange(32), 1000), axis=-1)
-    lev_sorted = jnp.take_along_axis(sf_level, order, axis=-1)[..., :8]
-    loc_sorted = jnp.take_along_axis(
-        jnp.broadcast_to(jnp.arange(32) + 1, sf_level.shape), order,
-        axis=-1)[..., :8]
+    # compaction by rank: the r-th kept sf lands in slot r (ascending loc
+    # order preserved) — one-hot contraction instead of argsort + gathers
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
     slot = jnp.arange(8)
+    oh = (keep[..., None] & (rank[..., None] == slot)).astype(jnp.int32)
+    lev_sorted = jnp.sum(sf_level[..., None] * oh, axis=-2)
+    loc_sorted = jnp.sum((jnp.arange(32) + 1)[:, None] * oh, axis=-2)
     valid = slot < n[..., None]
     return (jnp.where(valid, lev_sorted, 0).astype(jnp.int32),
             jnp.where(valid, loc_sorted, 0).astype(jnp.int32),
@@ -397,6 +398,28 @@ def init_ctx(c):
     z = jnp.zeros((c, 4), jnp.float32)
     return {"last_level": z, "last_target": z, "last_hpf": z,
             "prev_tail": jnp.zeros((c, 4, 128), jnp.float32)}
+
+
+def assemble_up_in(bands, ctx, next_head=None):
+    """Upsampler input windows: [C, F, 4, 256] band frames -> [C, F, 4, 512]
+    (prev 128 | frame 256 | next 128), with the chunk-carry tail from `ctx`
+    and the lookahead `next_head` ([C, 4, 128], zeros at track end —
+    the reference drain, atrac3denc.cpp:715-718)."""
+    c, f, nb, _ = bands.shape
+    if next_head is None:
+        next_head = jnp.zeros((c, nb, 128), bands.dtype)
+    stream = jnp.swapaxes(bands, 1, 2).reshape(c, nb, f * 256)
+    prev128 = jnp.concatenate(
+        [ctx["prev_tail"], stream[..., :-128]], axis=-1)
+    next128 = jnp.concatenate(
+        [stream[..., 256:], next_head, jnp.zeros_like(stream[..., :128])],
+        axis=-1)
+    up_in = jnp.concatenate([
+        prev128.reshape(c, nb, f, 256)[..., :128],
+        stream.reshape(c, nb, f, 256),
+        next128.reshape(c, nb, f, 256)[..., :128],
+    ], axis=-1)                                       # [C, 4, F, 512]
+    return jnp.swapaxes(up_in, 1, 2)                  # [C, F, 4, 512]
 
 
 def gain_control(bands, ctx=None, next_head=None, debug=False):
@@ -413,20 +436,7 @@ def gain_control(bands, ctx=None, next_head=None, debug=False):
     c, f, nb, _ = bands.shape
     if ctx is None:
         ctx = init_ctx(c)
-    if next_head is None:
-        next_head = jnp.zeros((c, nb, 128), bands.dtype)
-    stream = jnp.swapaxes(bands, 1, 2).reshape(c, nb, f * 256)
-    prev128 = jnp.concatenate(
-        [ctx["prev_tail"], stream[..., :-128]], axis=-1)
-    next128 = jnp.concatenate(
-        [stream[..., 256:], next_head, jnp.zeros_like(stream[..., :128])],
-        axis=-1)
-    up_in = jnp.concatenate([
-        prev128.reshape(c, nb, f, 256)[..., :128],
-        stream.reshape(c, nb, f, 256),
-        next128.reshape(c, nb, f, 256)[..., :128],
-    ], axis=-1)                                       # [C, 4, F, 512]
-    up_in = jnp.swapaxes(up_in, 1, 2)                 # [C, F, 4, 512]
+    up_in = assemble_up_in(bands, ctx, next_head)     # [C, F, 4, 512]
 
     region, hfr = upsample_region(up_in)
     gain, lo, hi = analyze_gain(region)

@@ -85,7 +85,7 @@ def extract(specs, flatness):
                     constant_values=0)[..., :128] - pad[..., :-1]
         s = jnp.where(starts + ln_i <= spb[:, None], s, -1.0)
         idx = jnp.argmax(s, axis=-1).astype(jnp.int32)    # first == min start
-        sc = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        sc = jnp.max(s, axis=-1)        # == s[argmax]; reduce, not gather
         # len ascends, so equal (score, start) keeps the earlier length
         better = (sc > best_score) | ((sc == best_score) & (idx < best_start))
         best_score = jnp.where(better, sc, best_score)

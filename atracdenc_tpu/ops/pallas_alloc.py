@@ -187,14 +187,20 @@ def _run_bisection(ev, target, *, lo, hi, rows):
 
 def _at1_eval(shift, *, sfi_f, fix, bias, gated, in_use, specs):
     """ATRAC1 CalcBitsAllocation at lambda `shift` (models/atrac1/
-    bitalloc.calc_bits_allocation, op-for-op) + bits used."""
+    bitalloc.calc_bits_allocation, op-for-op) + bits used.
+
+    gated/in_use arrive as int32 masks: this runs inside fori/while
+    regions, and captured i1 vectors fail Mosaic legalization (i8->i1
+    trunci) — compare at use instead."""
     spread = T1.BIT_ALLOC_SPREAD
     tmp = jnp.trunc(spread * (sfi_f / 3.2) + (1.0 - spread) * fix
                     - shift + bias)
     wl = jnp.where(tmp > 16, 16.0,
                    jnp.where(tmp < 2, 0.0, tmp)).astype(jnp.int32)
-    wl = jnp.where(gated | ~in_use, 0, wl)
-    bits = jnp.sum(jnp.where(in_use, specs * wl, 0), axis=-1, keepdims=True)
+    live = (gated == 0) & (in_use > 0)
+    wl = jnp.where(live, wl, 0)
+    bits = jnp.sum(jnp.where(in_use > 0, specs * wl, 0), axis=-1,
+                   keepdims=True)
     return wl, bits
 
 
@@ -223,15 +229,21 @@ def _at1_kernel(sfi_ref, energy_ref, short_ref, loud_ref, cf_ref, ci_ref,
     energy = energy_ref[...]
     loud = loud_ref[...]
 
-    # per-BFU short flag / fixed table (band is static {0,1,2})
-    sf = short_ref[...] > 0                          # [R, 3]
-    short_b = jnp.where(band == 0, sf[:, 0:1],
+    # per-BFU short flag / fixed table (band is static {0,1,2}).
+    # Selected in int32: a jnp.where whose VALUES are i1 vectors makes
+    # Mosaic materialize them as i8 and emit an i8->i1 trunci that has
+    # no legalization — select ints, compare at use.
+    sf = (short_ref[...] > 0).astype(jnp.int32)      # [R, 3]
+    short_i = jnp.where(band == 0, sf[:, 0:1],
                         jnp.where(band == 1, sf[:, 1:2], sf[:, 2:3]))
+    short_b = short_i > 0
     fix = jnp.where(short_b, fix_short, fix_long)
-    gated = (~short_b) & (energy < ath * loud)
+    # int32 mask: captured into fori/while regions (see _at1_eval)
+    gated = ((~short_b) & (energy < ath * loud)).astype(jnp.int32)
 
     def mk_inputs(bfu_num):
-        """lambda-independent per-round inputs (tilt bias needs in_use)."""
+        """lambda-independent per-round inputs (tilt bias needs in_use);
+        in_use returns int32 — it crosses Mosaic region boundaries."""
         in_use = iota < bfu_num
         is_low = (band == 0) & in_use
         is_mid = (band == 1) & in_use
@@ -255,7 +267,7 @@ def _at1_kernel(sfi_ref, energy_ref, short_ref, loud_ref, cf_ref, ci_ref,
         target = (T1.SOUND_UNIT_SIZE * 8 - T1.BITS_PER_BFU_AMOUNT_TAB_IDX
                   - 32 - 2 - 3
                   - bfu_num * (T1.BITS_PER_IDWL + T1.BITS_PER_IDSF))
-        return in_use, bias, target
+        return in_use.astype(jnp.int32), bias, target
 
     def amount(idx):
         out = jnp.zeros_like(idx)
@@ -289,15 +301,17 @@ def _at1_kernel(sfi_ref, energy_ref, short_ref, loud_ref, cf_ref, ci_ref,
                                  gated=gated, in_use=in_use, specs=specs,
                                  rows=rows)
             wl = jnp.where(repeat, new_wl, wl)
-            return r + 1, new_idx, wl, jnp.any(repeat)
+            # int32 carry: Mosaic cannot legalize i1 in scf.while yields
+            return r + 1, new_idx, wl, jnp.any(repeat).astype(jnp.int32)
 
         def round_cond(state):
             r, _, _, again = state
-            return (r < shrink_rounds - 1) & again
+            return (r < shrink_rounds - 1) & (again > 0)
 
         _, bfu_idx, wl, _ = jax.lax.while_loop(
             round_cond, round_body,
-            (jnp.asarray(0, jnp.int32), bfu_idx, wl, jnp.asarray(True)))
+            (jnp.asarray(0, jnp.int32), bfu_idx, wl,
+             jnp.asarray(1, jnp.int32)))
 
     # leftover-bit booster (models/atrac1/bitalloc._apply_boost)
     bfu_num = amount(bfu_idx)
@@ -305,14 +319,15 @@ def _at1_kernel(sfi_ref, energy_ref, short_ref, loud_ref, cf_ref, ci_ref,
     surplus = (target - jnp.sum(jnp.where(iota < bfu_num, specs * wl, 0),
                                 axis=-1, keepdims=True)).astype(jnp.int32)
     key = jnp.minimum(surplus, boost_max_per_it)
-    enabled = surplus >= boost_min_key
+    # int32 mask: captured into the boost while region (see _at1_eval)
+    enabled = (surplus >= boost_min_key).astype(jnp.int32)
 
     def one_pass(wl, surplus):
         changed = jnp.zeros((rows, 1), bool)
         for bits, pos in boost_entries:
             w = wl[:, pos:pos + 1]
             nbps = jnp.where(w > 0, 1, 2)
-            ok = (enabled
+            ok = ((enabled > 0)
                   & (surplus >= boost_min_key)
                   & (bits <= key)
                   & (pos < bfu_num)
@@ -327,15 +342,17 @@ def _at1_kernel(sfi_ref, energy_ref, short_ref, loud_ref, cf_ref, ci_ref,
 
     def boost_cond(state):
         _, surplus, changed = state
-        return jnp.any(changed & (surplus >= boost_min_key))
+        return jnp.any((changed > 0) & (surplus >= boost_min_key))
 
     def boost_body(state):
         wl, surplus, _ = state
-        return one_pass(wl, surplus)
+        wl, surplus, changed = one_pass(wl, surplus)
+        # int32 carry: Mosaic cannot legalize i1 vectors in while yields
+        return wl, surplus, changed.astype(jnp.int32)
 
     wl, surplus, changed = one_pass(wl, surplus)
-    wl, _, _ = jax.lax.while_loop(boost_cond, boost_body,
-                                  (wl, surplus, changed))
+    wl, _, _ = jax.lax.while_loop(
+        boost_cond, boost_body, (wl, surplus, changed.astype(jnp.int32)))
 
     idx_ref[...] = bfu_idx
     wl_ref[...] = wl

@@ -58,6 +58,7 @@ def _kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq):
     x = x_ref[...]                                   # [R, 32, 128] f32
     valid = mask_ref[...][None] > 0                  # [1, 32, 128] bool
     e1 = jnp.sum(jnp.where(valid, x * x, 0.0), axis=-1)   # [R, 32]
+    errs, vlcs = [], []
     for w in range(_MAX_WL):
         mul = float(maxq[w])
         t = x * mul
@@ -75,7 +76,7 @@ def _kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq):
                                       jnp.finfo(jnp.float32).max, err))
         else:
             err = jnp.zeros_like(e1)                 # wl==0: never boosted
-        err_ref[..., w] = err
+        errs.append(err)
 
         # VLC single-symbol cost of the plain-rounded mantissas
         # (bitalloc._vlc_bits_arith as static step functions)
@@ -85,7 +86,9 @@ def _kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq):
         bits = jnp.full(idx.shape, base, jnp.int32)
         for j, d in steps:
             bits = bits + d * (idx >= j).astype(jnp.int32)
-        vlc_ref[..., w] = jnp.sum(jnp.where(valid, bits, 0), axis=-1)
+        vlcs.append(jnp.sum(jnp.where(valid, bits, 0), axis=-1))
+    err_ref[...] = jnp.stack(errs, axis=-1)
+    vlc_ref[...] = jnp.stack(vlcs, axis=-1)
 
 
 def _vlc_bits_of_mant(mant, valid, sel):
@@ -106,17 +109,24 @@ def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
     (ops/quant.quant_blocks semantics, candidate order = ascending
     |delta| with index tie-break, e2 updated as (e2 - a) + b in f32).
 
-    x [R, 32, 128] scaled values; err/vlc [R, 32, 8] get the EA lanes
-    overwritten; mant1 [R, 32, 128] gets the wl==1 EA mantissas.
-    Returns (err, vlc, mant1).
+    x [R, 32, 128] scaled values; err/vlc are per-wordlen LISTS of [R, 32]
+    lanes (Mosaic cannot lower minor-axis scatter, so lanes stay separate
+    Python values until the final stack); mant1 [R, 32, 128] gets the
+    wl==1 EA mantissas.  Returns (err, vlc, mant1).
     """
     nb = e - b
-    sub = x[:, b:e, :L]                              # [R, nb, L]
-    subv = valid[None, b:e, :L]
-    # e1 over the L-wide slice, exactly like ops.quant._round_energy on
-    # the sliced sub (the full-width masked sum can differ in reduction
-    # tree; quant_blocks computes it this way)
-    e1g = jnp.sum(jnp.where(subv, sub * sub, 0.0), axis=-1)   # [R, nb]
+    # Full 128-lane width throughout: lane-padding the [.., :L] slice back
+    # to 128 is a tpu.concatenate with mismatched sublane offsets, which
+    # Mosaic cannot lower.  `valid` already encodes each BFU's block length
+    # L, so lanes >= L are masked everywhere; only the two tree-sensitive
+    # energy sums below slice to [..., :L] so the float reduction tree is
+    # exactly ops.quant._round_energy's L-wide sum.
+    sub = x[:, b:e, :]                               # [R, nb, 128]
+    # slice THEN expand: [None, b:e] mixed indexing routes through jax's
+    # internal_gather, which Mosaic cannot lower
+    subv = valid[b:e][None]
+    e1g = jnp.sum(jnp.where(subv, sub * sub, 0.0)[..., :L],
+                  axis=-1)                           # [R, nb]
     del e1
 
     for w in range(1, _MAX_WL):
@@ -125,7 +135,7 @@ def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
         m_old = jnp.where(subv, jnp.round(t), 0.0).astype(jnp.int32)
         inv2 = 1.0 / (mul * mul)
         e2g = jnp.sum(jnp.where(subv, (m_old * m_old).astype(sub.dtype),
-                                0.0), axis=-1) * inv2
+                                0.0)[..., :L], axis=-1) * inv2
         up = e2g < e1g
         dn = e2g > e1g
 
@@ -136,11 +146,16 @@ def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
                                    jnp.where(t > 0, 1, -1)))
         m_dn = jnp.where(m_old > 0, m_old - 1,
                          jnp.where(m_old < 0, m_old + 1, m_old))
-        m_new = jnp.where(up[..., None], m_up, m_dn)
+        m_new = jnp.where(up.astype(jnp.int32)[..., None] > 0, m_up, m_dn)
         elig_up = (abs_m < abs_t) & (abs_m < (mul - 1.0))
         elig_dn = abs_m > abs_t
-        elig = jnp.where(up[..., None], elig_up,
-                         jnp.where(dn[..., None], elig_dn, False))
+        # int32, not bool: i1 vectors captured into (or carried through)
+        # Mosaic while regions materialize as i8 and the i8->i1 trunci
+        # has no legalization; minor-dim inserts ([..., None]) of i1 also
+        # have no lowering — expand in int32, compare back
+        up3 = up.astype(jnp.int32)[..., None] > 0
+        dn3 = dn.astype(jnp.int32)[..., None] > 0
+        elig = ((up3 & elig_up) | (~up3 & dn3 & elig_dn)).astype(jnp.int32)
 
         delta = t - (jnp.trunc(t) + 0.5)
         cand = subv & (jnp.abs(delta) < 0.25)
@@ -155,25 +170,29 @@ def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
         else:
             dbits = jnp.zeros(m_old.shape, jnp.int32)
 
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, sub.shape, 2)
+
         def step(state):
             _s, key, e2, accept, aux = state
             m = jnp.min(key, axis=-1, keepdims=True)
             is_min = key == m
-            first = is_min & (jnp.cumsum(is_min.astype(jnp.int32),
-                                         axis=-1) == 1)
+            # first min position via iota (cumsum has no Mosaic lowering)
+            first = iota_l == jnp.min(jnp.where(is_min, iota_l, 128),
+                                      axis=-1, keepdims=True)
             real = m < jnp.inf
             a_s = jnp.sum(jnp.where(first, a_term, 0.0), axis=-1,
                           keepdims=True)
             b_s = jnp.sum(jnp.where(first, b_term, 0.0), axis=-1,
                           keepdims=True)
-            el_s = jnp.any(first & elig, axis=-1, keepdims=True)
+            el_s = jnp.any(first & (elig > 0), axis=-1, keepdims=True)
             d_s = jnp.sum(jnp.where(first, dbits, 0), axis=-1,
                           keepdims=True)
             ex = (e2 - a_s) + b_s
             e1k = e1g[..., None]
             acc = real & el_s & (jnp.abs(ex - e1k) < jnp.abs(e2 - e1k))
             e2 = jnp.where(acc, ex, e2)
-            accept = accept | (first & acc)
+            # int32 carry (i1 vector while-carries fail Mosaic legalization)
+            accept = accept | (first & acc).astype(jnp.int32)
             aux = aux + jnp.where(acc, d_s, 0)[..., 0]
             key = jnp.where(first, jnp.inf, key)
             return _s + 1, key, e2, accept, aux
@@ -184,9 +203,10 @@ def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
             return (_s < L) & jnp.any(key < jnp.inf)
 
         init = (jnp.asarray(0, jnp.int32), key0, e2g[..., None],
-                jnp.zeros(m_old.shape, bool), jnp.zeros(e2g.shape,
-                                                        jnp.int32))
+                jnp.zeros(m_old.shape, jnp.int32),
+                jnp.zeros(e2g.shape, jnp.int32))
         _, _, e2f, accept, aux = jax.lax.while_loop(cond2, step, init)
+        accept = accept > 0
         e2f = e2f[..., 0]
 
         err_lane = e1g / e2f
@@ -194,13 +214,23 @@ def _ea_group(x, valid, e1, err, vlc, mant1, b, e, L, maxq):
                              jnp.where(jnp.isinf(err_lane),
                                        jnp.finfo(jnp.float32).max,
                                        err_lane))
-        err = err.at[:, b:e, w].set(err_lane)
+        # merge the [R, nb] lanes back into the 32-BFU tensors as static
+        # per-column broadcast selects: sublane-offset pads/concats (both
+        # jnp.pad and scatter forms) have no Mosaic lowering
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, err[w].shape, 1)
+        for i in range(nb):
+            err[w] = jnp.where(iota_b == b + i, err_lane[:, i:i + 1], err[w])
         if w == 1:
             m_adj = jnp.where(accept, m_new, m_old)
             m_adj = jnp.where(subv, m_adj, 0)
-            mant1 = mant1.at[:, b:e, :L].set(m_adj)
+            iota_b3 = jax.lax.broadcasted_iota(jnp.int32, mant1.shape, 1)
+            for i in range(nb):
+                mant1 = jnp.where(iota_b3 == b + i,
+                                  m_adj[:, i:i + 1, :], mant1)
         else:
-            vlc = vlc.at[:, b:e, w].add(aux)
+            for i in range(nb):
+                vlc[w] = vlc[w] + jnp.where(iota_b == b + i,
+                                            aux[:, i:i + 1], 0)
     return err, vlc, mant1
 
 
@@ -212,8 +242,8 @@ def _full_kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq, ea_groups):
     valid = valid2[None]
     e1 = jnp.sum(jnp.where(valid, x * x, 0.0), axis=-1)   # [R, 32]
 
-    err = jnp.zeros(x.shape[:-1] + (_MAX_WL,), jnp.float32)
-    vlc = jnp.zeros(x.shape[:-1] + (_MAX_WL,), jnp.int32)
+    err = []                 # per-wordlen [R, 32] lanes (stacked at the end)
+    vlc = []
     mant1 = jnp.zeros(x.shape, jnp.int32)
     for w in range(_MAX_WL):
         mul = float(maxq[w])
@@ -228,12 +258,12 @@ def _full_kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq, ea_groups):
                                        jnp.finfo(jnp.float32).max, lane))
         else:
             lane = jnp.zeros_like(e1)
-        err = err.at[..., w].set(lane)
+        err.append(lane)
         mi = mant.astype(jnp.int32)
         if w == 1:
             mant1 = mi
         bits = _vlc_bits_of_mant(mi, valid, min(max(w - 1, 0), 6))
-        vlc = vlc.at[..., w].set(jnp.sum(bits, axis=-1))
+        vlc.append(jnp.sum(bits, axis=-1))
 
     for b, e, L in ea_groups:
         err, vlc, mant1 = _ea_group(x, valid2, e1, err, vlc, mant1,
@@ -249,11 +279,10 @@ def _full_kernel(x_ref, mask_ref, err_ref, vlc_ref, *, maxq, ea_groups):
     for k in range(9):
         blen = int(T.VLC_BITS[0, T.VLC_PAIR_RTAB[k]])
         bits_pair = bits_pair + blen * (keyp == k).astype(jnp.int32)
-    vlc = vlc.at[..., 1].set(
-        jnp.sum(jnp.where(even_valid, bits_pair, 0), axis=-1))
+    vlc[1] = jnp.sum(jnp.where(even_valid, bits_pair, 0), axis=-1)
 
-    err_ref[...] = err
-    vlc_ref[...] = vlc
+    err_ref[...] = jnp.stack(err, axis=-1)
+    vlc_ref[...] = jnp.stack(vlc, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

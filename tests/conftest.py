@@ -37,3 +37,13 @@ os.environ.setdefault(
     os.path.expanduser(f"~/.cache/atracdenc_tpu_jax_{_machine_tag()}"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The axon sitecustomize hook registers the TPU plugin at interpreter
+# startup and pins JAX_PLATFORMS=axon in a way the env var above cannot
+# undo once the relay is live (observed 2026-08-19: the whole suite
+# silently ran — and Pallas kernels hardware-compiled — through the TPU
+# tunnel despite JAX_PLATFORMS=cpu).  The config knob still wins because
+# backends initialize lazily; force it before any test touches a device.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -61,22 +61,10 @@ def main():
     def vm(fn):
         return jax.jit(jax.vmap(fn))
 
-    # the upsampler input assembly + matmuls, isolated
+    # the upsampler input assembly + matmuls, isolated (shared with
+    # gain.gain_control so the profiler always measures the real assembly)
     def up_in_of(b):
-        c, f, nb, _ = b.shape
-        ctx = gain.init_ctx(c)
-        stream = jnp.swapaxes(b, 1, 2).reshape(c, nb, f * 256)
-        prev128 = jnp.concatenate([ctx["prev_tail"], stream[..., :-128]],
-                                  axis=-1)
-        next128 = jnp.concatenate(
-            [stream[..., 256:], jnp.zeros((c, nb, 128), b.dtype),
-             jnp.zeros_like(stream[..., :128])], axis=-1)
-        up_in = jnp.concatenate([
-            prev128.reshape(c, nb, f, 256)[..., :128],
-            stream.reshape(c, nb, f, 256),
-            next128.reshape(c, nb, f, 256)[..., :128],
-        ], axis=-1)
-        return jnp.swapaxes(up_in, 1, 2)
+        return gain.assemble_up_in(b, gain.init_ctx(b.shape[0]))
 
     up_in = timeit("assemble up_in", vm(up_in_of), bands)
     region, hfr = timeit("upsample_region (matmuls)",
