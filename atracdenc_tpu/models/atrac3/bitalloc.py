@@ -55,7 +55,16 @@ def _ea_groups():
 
 import os
 
+# Independent defaults: the fused rate-control kernel and the fused
+# quant-memo kernel schedule very differently (the rate kernel's VMEM
+# residency wins big; the quant kernel currently loses to XLA's fusion —
+# see PERF.md), so bench.py toggles them separately.
 _PALLAS_DEFAULT = os.environ.get("ATRACDENC_TPU_PALLAS", "0") == "1"
+_PALLAS_QUANT_DEFAULT = (os.environ.get("ATRACDENC_TPU_PALLAS_QUANT",
+                                        "") or
+                         os.environ.get("ATRACDENC_TPU_PALLAS", "0")) == "1"
+_PALLAS_RATE_DEFAULT = (os.environ.get("ATRACDENC_TPU_PALLAS_RATE", "") or
+                        os.environ.get("ATRACDENC_TPU_PALLAS", "0")) == "1"
 
 
 def _plain_costs_xla(scaled, valid_mask):
@@ -119,7 +128,7 @@ def quant_tensors(scaled, valid_mask, use_pallas=None):
     VMEM-resident Pallas kernel (ops/pallas_quant.quant_cost_full).
     """
     if use_pallas is None:
-        use_pallas = _PALLAS_DEFAULT
+        use_pallas = _PALLAS_QUANT_DEFAULT
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
@@ -386,7 +395,7 @@ def allocate(qt, sfi, gain_scale, energy, spread, loudness,
     Returns (num_bfu [...], coding_mode [...] bool (1=CLC), wordlen [..., 32]).
     """
     if use_pallas is None:
-        use_pallas = _PALLAS_DEFAULT
+        use_pallas = _PALLAS_RATE_DEFAULT
     if use_pallas and tonal_bits_fn is not None and tonal_planes is None:
         # the kernel computes the tonal dry-run from tonal_planes, not the
         # closure; silently substituting the empty-tonal cost would give

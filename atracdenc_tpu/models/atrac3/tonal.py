@@ -238,7 +238,73 @@ def block_quant(planes, wl, num_bfu):
 
 def make_cost_fn(planes):
     """Build tonal_bits_fn(alloc_wl) -> [...] section bits for the rate
-    control (EncodeTonalComponents dry-run, atrac3_bitstream.cpp:453-595)."""
+    control (EncodeTonalComponents dry-run, atrac3_bitstream.cpp:453-595).
+
+    Closed form instead of the bucket automaton: block positions ascend, so
+    within one (quantizer, len) bucket stream the 64-line anchor group and
+    the 256-line window index are non-decreasing, which collapses the
+    sequential subgroup walk (see make_cost_fn_scan) to pairwise predicates:
+
+      * a block opens a subgroup iff it is the first of its bucket, or its
+        rank within the same (bucket, pos>>6) cluster is 8, 15, 22, ...
+        (the limiter hits 7 on every 8th member of one 64-aligned group);
+      * a block opens a window-count section iff it opens a subgroup or no
+        earlier same-bucket block shares its pos>>8 (wins are
+        non-decreasing, so "differs from the immediate predecessor" equals
+        "no earlier member has the same window").
+
+    One fused elementwise+reduce over a [32, 32] pair matrix replaces the
+    32-step scan with six [..., 64] carries — the scan's HBM round trips
+    made it the single hottest stage of the whole encoder (PERF.md).
+    tests/test_at3_tonal.py pins equality against the scan oracle.
+    """
+    ln = planes["len"]
+    pos = planes["start"]
+    vlc = planes["vlc_cost"]
+
+    # static pair predicates (allocation-independent)
+    grp = pos >> 6
+    win = pos >> 8
+    lt = _IOTA32[:, None] > _IOTA32[None, :]          # [i, j]: j < i
+    le = _IOTA32[:, None] >= _IOTA32[None, :]         # [i, j]: j <= i
+    same_len = ln[..., :, None] == ln[..., None, :]
+    pre_lg = le & same_len & (grp[..., :, None] == grp[..., None, :])
+    pre_lw = lt & same_len & (win[..., :, None] == win[..., None, :])
+    pre_lb = lt & same_len
+
+    def cost(wl, num_bfu):
+        active, quant = block_quant(planes, wl, num_bfu)
+
+        vlc_at_q = sum(jnp.where(quant == qq, vlc[..., qq], 0)
+                       for qq in range(2, 8))        # quant clamps to 2..7
+        member_bits = jnp.where(active, 12 + vlc_at_q, 0)
+        base = jnp.sum(member_bits, axis=-1)
+
+        # same-bucket pair mask at this allocation (bucket = quant*8+len;
+        # quant equality x len equality), j restricted to active blocks
+        qeq = quant[..., :, None] == quant[..., None, :]
+        actj = active[..., None, :]
+        sb_lt = actj & qeq & pre_lb                   # j < i, same bucket
+        first = active & ~jnp.any(sb_lt, axis=-1)
+        cnt = jnp.sum((actj & qeq & pre_lg).astype(jnp.int32), axis=-1)
+        brk = active & (cnt > 1) & ((cnt - 1) % 7 == 0)
+        new_sub = first | brk
+        samewin = jnp.any(actj & qeq & pre_lw, axis=-1)
+        new_win = active & (new_sub | ~samewin)
+
+        tcsgn = jnp.sum(new_sub, axis=-1)
+        sub_bits = (10 * jnp.sum(new_sub, axis=-1)
+                    + 12 * jnp.sum(new_win, axis=-1))
+        return 5 + jnp.where(tcsgn > 0, 2 + sub_bits + base, 0)
+
+    return cost
+
+
+def make_cost_fn_scan(planes):
+    """The original sequential-automaton formulation of make_cost_fn
+    (GroupTonalComponents walk, atrac3_bitstream.cpp:453-595, scanned over
+    block slots with per-bucket state).  Kept as the test oracle for the
+    closed form above."""
     ln = planes["len"]
     pos = planes["start"]
     vlc = planes["vlc_cost"]

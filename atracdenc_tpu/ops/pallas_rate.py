@@ -39,12 +39,14 @@ _LANES = 256           # channel-frames per grid step (lane axis); 512
                         # lanes overflow the 16 MiB scoped-VMEM stack on
                         # v5e (measured 18.75M, 2026-08-19)
 _BISECT_STEPS = 11
-_NBUCKETS = 64         # (quantizer, len) tonal buckets
+_MAX_BLOCKS = 21       # <= 21 tonal blocks exist: one run per BFU in
+                       # [8, 29), and regrouping never increases the count
+                       # (ceil(5k/7) <= k); slots 21..31 are always inactive
 
 
 def _eval_alloc(shift, *, csfi, gated, tcounts, spread, num_bfu, err,
                 clc, vlc, t_active, t_pos, t_len, t_bfu, t_vlc,
-                fix, xdiv, iota32, iota8, bids):
+                fix, xdiv, iota32, iota8):
     """One allocation evaluation at lambda `shift` [1, N].
 
     All per-BFU tensors are [32, N]; the cost memo is [32, 8, N]; scalars
@@ -84,7 +86,12 @@ def _eval_alloc(shift, *, csfi, gated, tcounts, spread, num_bfu, err,
             + 6 * jnp.sum(in_use2.astype(jnp.int32), axis=0, keepdims=True)
             + jnp.where(mode, clc_sum, vlc_sum))
 
-    # --- tonal section dry-run (tonal.make_cost_fn) ---
+    # --- tonal section dry-run: closed form (mirror of
+    # tonal.make_cost_fn; the sequential bucket automaton collapses to
+    # pairwise predicates because positions ascend within every bucket
+    # stream — see that docstring for the derivation).  The j-loop
+    # accumulates each earlier block's contribution to all later rows,
+    # entirely in registers/VMEM.
     active2 = (t_active > 0) & (t_bfu < num_bfu)       # [32, N]
     # wl at each block's first-component BFU (static one-hot accumulation)
     wl_b = jnp.zeros_like(t_bfu)
@@ -92,7 +99,6 @@ def _eval_alloc(shift, *, csfi, gated, tcounts, spread, num_bfu, err,
         wl_b = wl_b + wl[k:k + 1, :] * (t_bfu == k).astype(jnp.int32)
     quant = jnp.clip(jnp.where(active2, wl_b + 4, 0), 2, 7)
     quant = jnp.where(active2, quant, 0)
-    bucket = jnp.where(active2, quant * 8 + t_len, 0)
 
     vlc_at_q = jnp.zeros_like(quant)
     for qq in range(2, 8):
@@ -100,36 +106,40 @@ def _eval_alloc(shift, *, csfi, gated, tcounts, spread, num_bfu, err,
     member_bits = jnp.where(active2, 12 + vlc_at_q, 0)
     base = jnp.sum(member_bits, axis=0, keepdims=True)
 
-    n = bucket.shape[-1]
-    anchor = jnp.zeros((_NBUCKETS, n), jnp.int32)
-    limiter = jnp.zeros((_NBUCKETS, n), jnp.int32)
-    prev_win = jnp.full((_NBUCKETS, n), -1, jnp.int32)
-    started = jnp.zeros((_NBUCKETS, n), jnp.bool_)
-    nsub = jnp.zeros((_NBUCKETS, n), jnp.int32)
-    nwin = jnp.zeros((_NBUCKETS, n), jnp.int32)
-    for g in range(32):
-        m_active = active2[g:g + 1, :]
-        m_bucket = bucket[g:g + 1, :]
-        m_pos = t_pos[g:g + 1, :]
-        here = m_active & (bids == m_bucket)
-        first = here & ~started
-        inwin = (m_pos - (anchor & ~63)) < 64
-        lim2 = jnp.where(inwin, limiter + 1, 0)
-        anchor2 = jnp.where(inwin, anchor, m_pos)
-        brk = here & started & (lim2 >= 7)
-        new_sub = first | brk
-        anchor3 = jnp.where(new_sub, m_pos, anchor2)
-        lim3 = jnp.where(new_sub, 0, lim2)
-        win = m_pos >> 8
-        new_win = here & (new_sub | (win != prev_win))
-        anchor = jnp.where(here, anchor3, anchor)
-        limiter = jnp.where(here, lim3, limiter)
-        prev_win = jnp.where(here, win, prev_win)
-        started = started | here
-        nsub = nsub + new_sub.astype(jnp.int32)
-        nwin = nwin + new_win.astype(jnp.int32)
-    tcsgn = jnp.sum(nsub, axis=0, keepdims=True)
-    sub_bits = jnp.sum(nsub * 10 + nwin * 12, axis=0, keepdims=True)
+    grp = t_pos >> 6                                   # 64-line anchor group
+    win = t_pos >> 8                                   # QMF window index
+    act_i = active2.astype(jnp.int32)
+
+    def pair_body(j, carry):
+        # block j's contribution to every later row i > j (a fori_loop
+        # keeps the per-iteration temporaries off the scoped-VMEM stack;
+        # the unrolled form blew the 16 MiB limit at 256 lanes)
+        any_sb, any_sw, cnt = carry
+        # Mosaic has no dynamic_slice on values: one-hot row extraction
+        is_j = iota32 == j
+        row = lambda x: jnp.sum(jnp.where(is_j, x, 0), axis=0, keepdims=True)
+        same_b = ((row(act_i) > 0) & (iota32 > j)
+                  & (t_len == row(t_len))
+                  & (quant == row(quant)))
+        any_sb = any_sb | same_b.astype(jnp.int32)
+        cnt = cnt + (same_b & (grp == row(grp))).astype(jnp.int32)
+        any_sw = any_sw | (same_b & (win == row(win))).astype(jnp.int32)
+        return any_sb, any_sw, cnt
+
+    any_sb, any_sw, cnt = jax.lax.fori_loop(
+        0, _MAX_BLOCKS - 1, pair_body,
+        (jnp.zeros_like(quant), jnp.zeros_like(quant), act_i))
+    first = active2 & (any_sb == 0)
+    # limiter break at cluster ranks 8, 15, 22 (cnt <= 22 since <= 21
+    # blocks exist; explicit compares sidestep Mosaic's i32 rem)
+    brk = active2 & ((cnt == 8) | (cnt == 15) | (cnt == 22))
+    new_sub = first | brk
+    new_win = active2 & (new_sub | (any_sw == 0))
+
+    ns = new_sub.astype(jnp.int32)
+    nw = new_win.astype(jnp.int32)
+    tcsgn = jnp.sum(ns, axis=0, keepdims=True)
+    sub_bits = jnp.sum(ns * 10 + nw * 12, axis=0, keepdims=True)
     tbits = 5 + jnp.where(tcsgn > 0, 2 + sub_bits + base, 0)
 
     return wl, bits + tbits, mode
@@ -168,7 +178,6 @@ def _kernel(csfi_ref, gated_ref, tcounts_ref, spread_ref, target_ref,
     xdiv = constf_ref[32:64, 0:1]
     iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, n), 0)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (32, _MAX_WL, n), 1)
-    bids = jax.lax.broadcasted_iota(jnp.int32, (_NBUCKETS, n), 0)
 
     ev_fixed = functools.partial(
         _eval_alloc,
@@ -177,7 +186,7 @@ def _kernel(csfi_ref, gated_ref, tcounts_ref, spread_ref, target_ref,
         err=err_ref[...], clc=clc_ref[...], vlc=vlc_ref[...],
         t_active=ta_ref[...], t_pos=tp_ref[...], t_len=tl_ref[...],
         t_bfu=tb_ref[...], t_vlc=tv_ref[...],
-        fix=fix, xdiv=xdiv, iota32=iota32, iota8=iota8, bids=bids)
+        fix=fix, xdiv=xdiv, iota32=iota32, iota8=iota8)
     target = target_ref[...]
 
     def one_round(num_bfu):

@@ -27,14 +27,17 @@ REF_AT3P_FRAMES_PER_S = 930.0    # at3p_oracle (GHA-off flow), 1 core user
 
 
 def _set_pallas(flag):
-    """Route the rate-control stages through the fused Pallas kernels
-    (ops/pallas_quant.py, ops/pallas_alloc.py) or the XLA formulations.
+    """Route the rate-control stage through the fused Pallas kernels
+    (ops/pallas_rate.py / ops/pallas_alloc.py) or the XLA formulations.
     Both produce identical bytes (tests/test_pallas_*.py); which is
-    faster is a scheduling question the bench answers empirically."""
+    faster is a scheduling question the bench answers empirically.
+    The quant-memo kernel (ops/pallas_quant.py) stays off: measured 2026-08-19
+    on the v5e it loses ~75x to XLA's fused broadcast (PERF.md §3)."""
     from atracdenc_tpu.models.atrac1 import bitalloc as b1
     from atracdenc_tpu.models.atrac3 import bitalloc as b3
     b1._PALLAS_DEFAULT = flag
-    b3._PALLAS_DEFAULT = flag
+    b3._PALLAS_RATE_DEFAULT = flag
+    b3._PALLAS_QUANT_DEFAULT = False
 
 
 def _on_tpu():
