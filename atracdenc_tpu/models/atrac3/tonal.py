@@ -256,7 +256,7 @@ def make_cost_fn(planes):
     One fused elementwise+reduce over a [32, 32] pair matrix replaces the
     32-step scan with six [..., 64] carries — the scan's HBM round trips
     made it the single hottest stage of the whole encoder (PERF.md).
-    tests/test_at3_tonal.py pins equality against the scan oracle.
+    tests/test_at3_tonal_cost.py pins equality against the scan oracle.
     """
     ln = planes["len"]
     pos = planes["start"]
@@ -293,8 +293,7 @@ def make_cost_fn(planes):
         new_win = active & (new_sub | ~samewin)
 
         tcsgn = jnp.sum(new_sub, axis=-1)
-        sub_bits = (10 * jnp.sum(new_sub, axis=-1)
-                    + 12 * jnp.sum(new_win, axis=-1))
+        sub_bits = 10 * tcsgn + 12 * jnp.sum(new_win, axis=-1)
         return 5 + jnp.where(tcsgn > 0, 2 + sub_bits + base, 0)
 
     return cost

@@ -42,6 +42,8 @@ Wire-plane layout produced by extract():
 Planes are "wire-effective": shared subbands carry the leader's waves in
 both channels' slots, so subtract()/synthesize() see what a decoder sees.
 """
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,6 +106,32 @@ def _synth_own(freq, ph, sf, valid, length=128):
     return _wave_sum(freq, ph, amp, 0, length)
 
 
+@lru_cache(maxsize=None)
+def _dft_mats():
+    """[128, 1024] cos/sin DFT matrices for the zero-padded 2048-point
+    spectrum on the 10-bit FreqIndex grid (bins 0..1023).
+
+    The lane signal is 128 samples, so the padded rFFT the estimator needs
+    is exactly one [128, 1024] matmul pair — MXU work instead of an XLA
+    FFT over 16x zero padding (the round-3 AT3P hot spot, VERDICT r3 #2).
+    """
+    n = np.arange(128)[:, None]
+    k = np.arange(1024)[None, :]
+    ang = 2.0 * np.pi * n * k / 2048.0
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _lane_spectrum(x):
+    """x [L, 128] -> (re, im) [L, 1024]: X[k] = sum_n x[n] e^{-2pi i nk/2048}
+    for k = 0..1023 (f32-exact matmul; bin 1024 is excluded by the
+    estimator's mask anyway)."""
+    c, s = _dft_mats()
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(x, jnp.asarray(c), precision=hi)
+    im = -jnp.dot(x, jnp.asarray(s), precision=hi)
+    return re, im
+
+
 def _greedy(x, fit_mask, max_keep, sb_ath):
     """Greedy per-lane sinusoid extraction.
 
@@ -114,17 +142,18 @@ def _greedy(x, fit_mask, max_keep, sb_ath):
     lanes = x.shape[0]
     xm = jnp.where(fit_mask, x, 0.0)
     n_fit = jnp.maximum(jnp.sum(fit_mask, axis=-1), 1).astype(jnp.float32)
-    bins_mask = (jnp.arange(1025) >= 1) & (jnp.arange(1025) <= 1023)
+    bins_mask = jnp.arange(1024) >= 1           # DC out; 1024 not computed
 
     def round_fn(k, carry):
         x, freq, sf, ph, valid, done, max_amp = carry
-        spec = jnp.fft.rfft(x, n=2048)              # [L, 1025]
-        mag = jnp.where(bins_mask, jnp.abs(spec), 0.0)
-        b = jnp.argmax(mag, axis=-1).astype(jnp.int32)
-        peak = jnp.take_along_axis(spec, b[:, None], axis=-1)[:, 0]
-        amp = 2.0 * jnp.abs(peak) / n_fit
+        re, im = _lane_spectrum(x)                  # [L, 1024]
+        mag2 = jnp.where(bins_mask, re * re + im * im, 0.0)
+        b = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+        pick = lambda a: jnp.take_along_axis(a, b[:, None], axis=-1)[:, 0]
+        re_b, im_b = pick(re), pick(im)
+        amp = 2.0 * jnp.sqrt(re_b * re_b + im_b * im_b) / n_fit
         # x ~ A sin(w i + phi): phi = angle(X) + pi/2
-        phi = jnp.angle(peak) + np.pi / 2.0
+        phi = jnp.arctan2(im_b, re_b) + np.pi / 2.0
         phi_steps = jnp.mod(phi * (2048.0 / (2.0 * np.pi)), 2048.0)
 
         sf_k, amp_q, ph_k = _quantize_wave(amp, phi_steps,

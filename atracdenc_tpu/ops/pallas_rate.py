@@ -33,15 +33,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from atracdenc_tpu.models.atrac3 import tables as T
+from atracdenc_tpu.models.atrac3.tonal import TONAL_BFU_FIRST, TONAL_BFU_LAST
 
 _MAX_WL = 8
 _LANES = 256           # channel-frames per grid step (lane axis); 512
                         # lanes overflow the 16 MiB scoped-VMEM stack on
                         # v5e (measured 18.75M, 2026-08-19)
 _BISECT_STEPS = 11
-_MAX_BLOCKS = 21       # <= 21 tonal blocks exist: one run per BFU in
-                       # [8, 29), and regrouping never increases the count
-                       # (ceil(5k/7) <= k); slots 21..31 are always inactive
+_MAX_BLOCKS = TONAL_BFU_LAST - TONAL_BFU_FIRST
+                       # <= 21 tonal blocks exist: one run per BFU in
+                       # [TONAL_BFU_FIRST, TONAL_BFU_LAST), and regrouping
+                       # never increases the count (ceil(5k/7) <= k); slots
+                       # >= _MAX_BLOCKS are always inactive (guarded at the
+                       # rate_control_block entry)
+assert _MAX_BLOCKS <= 32
+# limiter break ranks within one (bucket, pos>>6) cluster: the 7-member
+# limiter re-opens a subgroup at every 8th member (cnt = 1 + 7k); only
+# ranks <= _MAX_BLOCKS can occur
+_BRK_RANKS = tuple(range(8, _MAX_BLOCKS + 1, 7))
 
 
 def _eval_alloc(shift, *, csfi, gated, tcounts, spread, num_bfu, err,
@@ -130,9 +139,12 @@ def _eval_alloc(shift, *, csfi, gated, tcounts, spread, num_bfu, err,
         0, _MAX_BLOCKS - 1, pair_body,
         (jnp.zeros_like(quant), jnp.zeros_like(quant), act_i))
     first = active2 & (any_sb == 0)
-    # limiter break at cluster ranks 8, 15, 22 (cnt <= 22 since <= 21
-    # blocks exist; explicit compares sidestep Mosaic's i32 rem)
-    brk = active2 & ((cnt == 8) | (cnt == 15) | (cnt == 22))
+    # limiter break at cluster ranks 1+7k (cnt <= _MAX_BLOCKS; explicit
+    # compares sidestep Mosaic's i32 rem)
+    brk_hit = jnp.zeros_like(cnt) > 0
+    for r in _BRK_RANKS:
+        brk_hit = brk_hit | (cnt == r)
+    brk = active2 & brk_hit
     new_sub = first | brk
     new_win = active2 & (new_sub | (any_sw == 0))
 

@@ -82,31 +82,19 @@ def _bench_at1(pcm):
 
 
 def _bench_at3p(pcm):
-    """Full-GHA AT3P: device core + device serializer; the host tail
-    (tone ordering + numQU shrink, _finish_planes) is timed inside the
-    loop — it is part of the production path."""
+    """Full-GHA AT3P, stream-vmapped fused device path: PQF, GHA tonal
+    model, MDCT, VLC costing, numQU shrink AND serialization in one jit
+    (encoder.encode_frames_bytes); only frame bytes leave the chip."""
     import jax
     import jax.numpy as jnp
-    from atracdenc_tpu.models.atrac3p import encoder as E
-    from atracdenc_tpu.models.atrac3p.device_pack import pack_device
+    from atracdenc_tpu.models.atrac3p.encoder import encode_frames_bytes
 
     s, c, t = pcm.shape
     nframes = t // 2048
-    xs = [jnp.asarray(pcm[i]) for i in range(s)]
-
-    def run(x):
-        core = E._encode_core(x, gha_mask=7)
-        planes = E._finish_planes(core, c)
-        jp = {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
-                  else jnp.asarray(v)) for k, v in planes.items()}
-        return jax.device_get(pack_device(jp, c))
-
-    run(xs[0])                           # compile + warm
-    t0 = time.perf_counter()
-    for x in xs:
-        out = run(x)
-    del out
-    return s * nframes / (time.perf_counter() - t0)
+    x = jnp.asarray(pcm)
+    batched = jax.jit(lambda xs: jax.vmap(
+        lambda p: encode_frames_bytes(p, c, gha_mask=7))(xs))
+    return _pipeline_rate(batched, x, s * nframes)
 
 
 def _ensure_backend(probe_timeout_s=180):

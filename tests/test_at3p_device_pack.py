@@ -51,3 +51,27 @@ def test_tonal_bits_device_equals_host_walk():
     assert dev.shape == host.shape
     assert np.array_equal(dev, host)
     assert host.sum() > 0, "corpus produced no tonal blocks - test is vacuous"
+
+
+@pytest.mark.parametrize("channels", [2, 1])
+def test_fused_bytes_path_equals_host_tail(channels):
+    """encode_frames_bytes (device finish: tone wire ordering + tonal
+    budget + numQU shrink in-graph) must produce the same frame bytes as
+    the host tail (_finish_planes + pack_device)."""
+    import jax
+    from atracdenc_tpu.models.atrac3p import encoder as E
+    from atracdenc_tpu.models.atrac3p.device_pack import pack_device
+
+    pcm = _tonal_pcm(channels=channels)
+    pad = (-pcm.shape[1]) % 2048
+    pcm = np.pad(pcm, ((0, 0), (0, pad)))
+    fused = np.asarray(E.encode_frames_bytes(jnp.asarray(pcm), channels,
+                                             gha_mask=7))
+    core = E._encode_core(jnp.asarray(pcm), gha_mask=7)
+    planes = E._finish_planes(core, channels)
+    jp = {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
+              else jnp.asarray(v)) for k, v in planes.items()}
+    ref = np.asarray(pack_device(jp, channels))
+    assert fused.shape == ref.shape
+    diff = int((fused != ref).sum())
+    assert diff == 0, f"{diff}/{ref.size} bytes differ"

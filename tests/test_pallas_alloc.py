@@ -111,6 +111,47 @@ def test_at1_fused_allocate_equals_xla():
         assert np.array_equal(np.asarray(wl_x), np.asarray(wl_p)), const
 
 
+def test_fused_bisect_dense_tonal_limiter_breaks():
+    """Dense same-bucket tonal planes (>= 8 blocks in one 64-line anchor
+    group) drive the kernel's limiter-break ranks (cnt == 8, 15) — the brk
+    branch randomly extracted planes almost never reach.  Must equal the
+    XLA closed form bit for bit."""
+    (qt, sfi, gsf, energy, spread, loud, target,
+     _c, _f, _p) = _random_case(11, with_tonal=False)
+    c, f = sfi.shape[:2]
+    rng = np.random.default_rng(11)
+    nb = 32
+    k = 18                       # one bucket, one 64-group: ranks 8 and 15
+    act = np.zeros((c, f, nb), bool)
+    start = np.zeros((c, f, nb), np.int32)
+    ln = np.zeros((c, f, nb), np.int32)
+    bfu = np.zeros((c, f, nb), np.int32)
+    act[..., :k] = True
+    start[..., :k] = 256 + np.arange(k) * 3   # all inside pos>>6 == 4
+    ln[..., :k] = 2
+    bfu[..., :k] = 10                         # same wl -> same quant bucket
+    planes = {
+        "active": jnp.asarray(act), "start": jnp.asarray(start),
+        "len": jnp.asarray(ln), "bfu": jnp.asarray(bfu),
+        "vlc_cost": jnp.asarray(
+            rng.integers(4, 60, size=(c, f, nb, 8)).astype(np.int32)),
+    }
+    counts = jnp.asarray(
+        (np.eye(32, dtype=np.int32)[np.asarray(planes["bfu"])]
+         * np.asarray(planes["active"])[..., None]).sum(-2))
+    fn = tonal.make_cost_fn(planes)
+    nb_x, mode_x, wl_x = bitalloc.allocate(
+        qt, sfi, gsf, energy, spread, loud, target,
+        tonal_counts=counts, tonal_bits_fn=fn, use_pallas=False)
+    nb_p, mode_p, wl_p = bitalloc.allocate(
+        qt, sfi, gsf, energy, spread, loud, target,
+        tonal_counts=counts, tonal_bits_fn=fn, tonal_planes=planes,
+        use_pallas=True)
+    assert np.array_equal(np.asarray(nb_x), np.asarray(nb_p))
+    assert np.array_equal(np.asarray(wl_x), np.asarray(wl_p))
+    assert np.array_equal(np.asarray(mode_x), np.asarray(mode_p))
+
+
 def test_fused_bisect_low_budget_shrink():
     """Tiny targets exercise the num_bfu clamp + shrink Repeat rounds."""
     (qt, sfi, gsf, energy, spread, loud, _target,

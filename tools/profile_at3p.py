@@ -45,8 +45,8 @@ def main():
                    ).astype(np.float32)
     x = jnp.asarray(pcm)
     frames = args.frames
-    print(f"one stream: 2 ch x {t} samples ({frames} frames); "
-          f"{args.streams} streams for the production-path timing")
+    print(f"one stream: 2 ch x {t} samples ({frames} frames); the final "
+          f"E2E row batches {args.streams} streams (vmapped fused bytes)")
 
     def timeit(name, fn, *a):
         out = jax.block_until_ready(fn(*a))
@@ -99,31 +99,28 @@ def main():
     core_off = jax.jit(lambda p: E._encode_core(p, gha_mask=None))
     timeit("core fused (gha off)", core_off, x)
 
-    # host tail + pack: the production path bench.py times
-    def run(p):
-        c = E._encode_core(p, gha_mask=7)
-        planes = E._finish_planes(c, 2)
-        jp = {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
-                  else jnp.asarray(v)) for k, v in planes.items()}
-        return jax.device_get(pack_device(jp, 2))
+    # device finish + pack on one stream
+    fin = jax.jit(lambda p: E._finish_planes_device(
+        E._encode_core(p, gha_mask=7), 2))
+    planes = timeit("core+finish (device)", fin, x)
+    timeit("pack_device", jax.jit(lambda p: pack_device(p, 2)), planes)
 
-    run(x)
-    t0 = time.perf_counter()
-    run(x)
-    dt = time.perf_counter() - t0
-    print(f"{'run() 1 stream e2e':28s} {dt * 1e3:9.2f} ms   "
-          f"{frames / dt:12.0f} frames/s")
-
-    # host-tail cost alone
-    c = jax.block_until_ready(core(x))
-    t0 = time.perf_counter()
-    planes = E._finish_planes(c, 2)
-    dt = time.perf_counter() - t0
-    print(f"{'_finish_planes host tail':28s} {dt * 1e3:9.2f} ms")
-
-    jp = {k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
-              else jnp.asarray(v)) for k, v in planes.items()}
-    timeit("pack_device", lambda p: pack_device(p, 2), jp)
+    # the production path bench.py times: the stream-vmapped fused bytes
+    # pipeline at --streams width
+    xs = jnp.broadcast_to(x, (args.streams,) + x.shape)
+    batched = jax.jit(lambda xs: jax.vmap(
+        lambda p: E.encode_frames_bytes(p, 2, gha_mask=7))(xs))
+    out = jax.block_until_ready(batched(xs))
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(batched(xs))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(f"{'E2E fused bytes (batched)':28s} {dt * 1e3:9.2f} ms   "
+          f"{args.streams * frames / dt:12.0f} frames/s "
+          f"({args.streams} streams)")
+    del out
 
 
 if __name__ == "__main__":
