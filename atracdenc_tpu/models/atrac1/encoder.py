@@ -63,8 +63,10 @@ def gather_bfu_blocks(specs, short_flags):
                      short_b, long_b) * _GATHER_MASK
 
 
-@partial(jax.jit, static_argnames=("bfu_idx_const", "window_mode", "window_mask"))
-def encode_frames(pcm, bfu_idx_const=0, window_mode="auto", window_mask=0):
+@partial(jax.jit, static_argnames=("bfu_idx_const", "window_mode",
+                                   "window_mask", "use_pallas"))
+def encode_frames(pcm, bfu_idx_const=0, window_mode="auto", window_mask=0,
+                  use_pallas=None):
     """Encode [C, T] PCM (T multiple of 512) into ATRAC1 frame planes.
 
     Returns dict of planes:
@@ -112,7 +114,8 @@ def encode_frames(pcm, bfu_idx_const=0, window_mode="auto", window_mask=0):
         blocks, _GATHER_MASK, jnp.asarray(T.SCALE_TABLE))
 
     bfu_idx, wordlen = allocate(sfi, energy, masks, loud,
-                                bfu_idx_const=bfu_idx_const)
+                                bfu_idx_const=bfu_idx_const,
+                                use_pallas=use_pallas)
     mant = scale_ops.quant_mantissas(scaled, wordlen)
 
     # operator feedback: |spec| > MAX_SCALE is exactly where the reference
@@ -136,9 +139,9 @@ CHUNK_RIGHT = 1   # the transient HPF reads 1 sample past the frame
 
 
 @partial(jax.jit, static_argnames=("bfu_idx_const", "window_mode",
-                                   "window_mask", "first"))
+                                   "window_mask", "first", "use_pallas"))
 def _encode_window(pcm_ext, loud_init, bfu_idx_const=0, window_mode="auto",
-                   window_mask=0, first=False):
+                   window_mask=0, first=False, use_pallas=None):
     """Chunk core: pcm_ext [C, (CHUNK_LEFT + f + 1) * 512] -> (planes for
     the f content frames, raw loudness carry).  Context frames pin the
     filterbank/transient/MDCT couplings; the loudness IIR (the only true
@@ -206,7 +209,8 @@ def _encode_window(pcm_ext, loud_init, bfu_idx_const=0, window_mode="auto",
     sfi, scaled, energy = scale_ops.scale_blocks(
         blocks, _GATHER_MASK, jnp.asarray(T.SCALE_TABLE))
     bfu_idx, wordlen = allocate(sfi, energy, masks, loud,
-                                bfu_idx_const=bfu_idx_const)
+                                bfu_idx_const=bfu_idx_const,
+                                use_pallas=use_pallas)
     mant = scale_ops.quant_mantissas(scaled, wordlen)
     absb = jnp.abs(blocks)
     planes = {

@@ -69,18 +69,21 @@ def init_state(c):
 
 
 @partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
-                                   "no_tonal", "bfu_idx_const"))
+                                   "no_tonal", "bfu_idx_const",
+                                   "use_pallas_rate"))
 def encode_frames(pcm, frame_bytes=384, js=False, no_gain_control=True,
-                  no_tonal=True, bfu_idx_const=0):
+                  no_tonal=True, bfu_idx_const=0, use_pallas_rate=None):
     planes, _ = encode_frames_chunk(pcm, None, None, frame_bytes, js,
-                                    no_gain_control, no_tonal, bfu_idx_const)
+                                    no_gain_control, no_tonal, bfu_idx_const,
+                                    use_pallas_rate)
     return planes
 
 
 @partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
-                                   "no_tonal", "bfu_idx_const"))
+                                   "no_tonal", "bfu_idx_const",
+                                   "use_pallas_rate"))
 def encode_frames_bytes(pcm, frame_bytes=384, js=False, no_gain_control=True,
-                        no_tonal=True, bfu_idx_const=0):
+                        no_tonal=True, bfu_idx_const=0, use_pallas_rate=None):
     """[C, T] PCM -> [F, frame_bytes] uint8 frames, fully ON DEVICE.
 
     Fuses the encoder with the device bitstream serializer
@@ -88,21 +91,30 @@ def encode_frames_bytes(pcm, frame_bytes=384, js=False, no_gain_control=True,
     the batch-transcode fast path (byte-identical to
     frame.pack(encode_frames(...)))."""
     planes, _ = encode_frames_chunk(pcm, None, None, frame_bytes, js,
-                                    no_gain_control, no_tonal, bfu_idx_const)
+                                    no_gain_control, no_tonal, bfu_idx_const,
+                                    use_pallas_rate)
     return pack_device(planes, frame_bytes, js)
 
 
 @partial(jax.jit, static_argnames=("frame_bytes", "js", "no_gain_control",
-                                   "no_tonal", "bfu_idx_const"))
+                                   "no_tonal", "bfu_idx_const",
+                                   "use_pallas_rate"))
 def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
                         js=False, no_gain_control=True, no_tonal=True,
-                        bfu_idx_const=0):
+                        bfu_idx_const=0, use_pallas_rate=None):
     """Encode [C, T] PCM (T multiple of 1024) into ATRAC3 frame planes.
 
     `state` carries the exact cross-chunk recurrences (gain context, MDCT
     overlap, loudness IIR) for long tracks; `next_pcm` provides the
     lookahead input (the 1024 samples after this chunk, or None at track
     end).  Returns (planes, new_state).
+
+    `use_pallas_rate` (static) routes rate control through the fused
+    Pallas kernel (ops/pallas_rate.py; byte-identical to the XLA path).
+    It MUST be passed explicitly (not via bitalloc._PALLAS_RATE_DEFAULT)
+    when toggling at runtime: the module-level jit cache does not see the
+    global, so a flag flip after the first trace would silently keep the
+    old executable.
 
     Gain control and tonal components are staged in follow-up commits; the
     current planes match the reference's --nogaincontrol --notonal mode.
@@ -238,7 +250,8 @@ def encode_frames_chunk(pcm, state=None, next_pcm=None, frame_bytes=384,
         qt, sfi, gain_scale_frame, energy, spread,
         jnp.broadcast_to(loudness, (c, f)), target,
         tonal_counts=tonal_counts, tonal_bits_fn=tonal_bits_fn,
-        bfu_idx_const=bfu_idx_const, tonal_planes=tonal_planes)
+        bfu_idx_const=bfu_idx_const, tonal_planes=tonal_planes,
+        use_pallas=use_pallas_rate)
 
     # int8: |mantissa| <= 32, and the plane is the bulk of the host transfer;
     # recomputed at the chosen wordlen only (the full [.., 32, 8, 128] memo

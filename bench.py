@@ -26,20 +26,6 @@ REF_AT3P_FRAMES_PER_S = 930.0    # at3p_oracle (GHA-off flow), 1 core user
                                  # time, 1024 stereo frames, 2026-08-17
 
 
-def _set_pallas(flag):
-    """Route the rate-control stage through the fused Pallas kernels
-    (ops/pallas_rate.py / ops/pallas_alloc.py) or the XLA formulations.
-    Both produce identical bytes (tests/test_pallas_*.py); which is
-    faster is a scheduling question the bench answers empirically.
-    The quant-memo kernel (ops/pallas_quant.py) stays off: measured 2026-08-19
-    on the v5e it loses ~75x to XLA's fused broadcast (PERF.md §3)."""
-    from atracdenc_tpu.models.atrac1 import bitalloc as b1
-    from atracdenc_tpu.models.atrac3 import bitalloc as b3
-    b1._PALLAS_DEFAULT = flag
-    b3._PALLAS_RATE_DEFAULT = flag
-    b3._PALLAS_QUANT_DEFAULT = False
-
-
 def _on_tpu():
     import jax.extend.backend as jxb
     return jxb.get_backend().platform == "tpu"
@@ -61,7 +47,7 @@ def _pipeline_rate(batched, x, n_items, iters=4):
     return n_items / ((time.perf_counter() - t0) / iters)
 
 
-def _bench_at1(pcm):
+def _bench_at1(pcm, use_pallas=False):
     import jax
     import jax.numpy as jnp
     from atracdenc_tpu.models.atrac1.encoder import encode_frames
@@ -72,7 +58,7 @@ def _bench_at1(pcm):
     x = jnp.asarray(pcm)
 
     def one(p):
-        planes = encode_frames(p)
+        planes = encode_frames(p, use_pallas=use_pallas)
         merged = {k: jnp.swapaxes(v, 0, 1).reshape((-1,) + v.shape[2:])
                   for k, v in planes.items()}
         return pack_device(merged)
@@ -149,11 +135,15 @@ def main():
                   -1, 1).astype(np.float32)
     x = jnp.asarray(pcm)
 
-    def measure_at3():
+    def measure_at3(use_pallas):
+        # the flag is a STATIC jit arg all the way down (a module-global
+        # flip would not retrace the cached executable — the round-3 bench
+        # silently measured the XLA path twice because of exactly that)
         batched = jax.jit(lambda xs: pack_device_batch(
             jax.vmap(lambda p: encode_frames(
                 p, frame_bytes=384, js=False,
-                no_gain_control=False, no_tonal=False))(xs), 384, False))
+                no_gain_control=False, no_tonal=False,
+                use_pallas_rate=use_pallas))(xs), 384, False))
         # steady-state pipeline: batch i+1 computes on-device while batch
         # i's bytes transfer out
         return _pipeline_rate(batched, x, streams * nframes)
@@ -161,21 +151,14 @@ def main():
     # XLA vs fused-Pallas rate control: byte-identical outputs, so take
     # whichever schedules better on this chip (Pallas only attempted on
     # real TPU — interpret mode on CPU is for correctness, not speed)
-    _set_pallas(False)
-    fps_xla = measure_at3()
-    fps_pls = 0.0
-    if _on_tpu():
-        _set_pallas(True)
-        fps_pls = measure_at3()
-        _set_pallas(False)
+    fps_xla = measure_at3(False)
+    fps_pls = measure_at3(True) if _on_tpu() else 0.0
     fps = max(fps_xla, fps_pls)
 
     at1_rate = _bench_at1(pcm[:8, :, :512 * 512])
     if _on_tpu():
-        _set_pallas(True)
-        at1_rate_pls = _bench_at1(pcm[:8, :, :512 * 512])
-        _set_pallas(False)
-        at1_rate = max(at1_rate, at1_rate_pls)
+        at1_rate = max(at1_rate, _bench_at1(pcm[:8, :, :512 * 512],
+                                            use_pallas=True))
     at3p_rate = _bench_at3p(pcm[:4, :, :2048 * 128])
 
     print(json.dumps({

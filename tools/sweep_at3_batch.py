@@ -37,9 +37,6 @@ def main():
     from atracdenc_tpu.models.atrac3.encoder import encode_frames
     from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
 
-    if args.pallas:
-        from atracdenc_tpu.models.atrac3 import bitalloc as b3
-        b3._PALLAS_RATE_DEFAULT = True
 
     print(f"backend: {jax.default_backend()}  pallas={args.pallas}")
     rng = np.random.default_rng(42)
@@ -56,7 +53,8 @@ def main():
         batched = jax.jit(lambda xs: pack_device_batch(
             jax.vmap(lambda p: encode_frames(
                 p, frame_bytes=384, js=False,
-                no_gain_control=False, no_tonal=False))(xs), 384, False))
+                no_gain_control=False, no_tonal=False,
+                use_pallas_rate=args.pallas))(xs), 384, False))
         try:
             out = jax.device_get(batched(x))  # compile + warm
         except Exception as exc:
