@@ -28,7 +28,10 @@ from atracdenc_tpu.ops.bitdeposit import deposit_fields
 from . import tables as T
 
 _MAXLEN = T.MAX_SPECS_PER_BLOCK
-_SLACK = 256                 # TBitStream may overrun; the tail is truncated
+_SLACK = 64                  # TBitStream may overrun; the tail is truncated
+                             # (allocation keeps content <= the bit budget,
+                             # so any spill is < one field; deposit drops
+                             # out-of-range words safely besides)
 
 _SPECS = jnp.asarray(T.SPECS_PER_BLOCK)
 _CLC_LEN = jnp.asarray(T.CLC_LENGTH_TAB)
@@ -126,15 +129,25 @@ def _tonal_fields(planes):
     bucket = quant * 8 + ln
     key = jnp.where(act, bucket * 64 + m32, 1 << 20)
     rank = jnp.sum((key[:, None, :] < key[:, :, None]), axis=-1)  # [N, 32]
-    perm = (rank[:, None, :] == m32[None, :, None]).astype(jnp.int32)  # [N,i,m]
-    srt = lambda x: jnp.einsum("nim,nm->ni", perm, x)
+    # one-hot permutation as f32-HIGHEST MXU contractions: every value is a
+    # small integer (<< 2^24) selected by a single 0/1 row, so the result
+    # is exact — int32 einsums lower to slow VPU loops on TPU
+    perm = (rank[:, None, :] == m32[None, :, None]) \
+        .astype(jnp.float32)                              # [N, i, m]
+    hi = jax.lax.Precision.HIGHEST
+
+    def srt(x):
+        return jnp.einsum("nim,nm->ni", perm, x.astype(jnp.float32),
+                          precision=hi).astype(jnp.int32)
+
     s_act = srt(act.astype(jnp.int32)).astype(bool)
     s_bucket = srt(bucket)
     s_pos = srt(pos)
     s_sfi = srt(sfi)
     s_quant = srt(quant)
     s_ln = srt(ln)
-    s_mant = jnp.einsum("nim,nmt->nit", perm, mant)
+    s_mant = jnp.einsum("nim,nmt->nit", perm, mant.astype(jnp.float32),
+                        precision=hi).astype(jnp.int32)
 
     # subgroup-split walk (GroupTonalComponents :427-449) over sorted slots.
     # The member whose in-window run would reach 7 is EXCLUDED from the
@@ -159,7 +172,7 @@ def _tonal_fields(planes):
     init = (z - 1, z, z, z - 1)
     xs = (jnp.swapaxes(s_act, 0, 1), jnp.swapaxes(s_bucket, 0, 1),
           jnp.swapaxes(s_pos, 0, 1))
-    _, sg_t = jax.lax.scan(step, init, xs)
+    _, sg_t = jax.lax.scan(step, init, xs, unroll=True)
     sg = jnp.swapaxes(sg_t, 0, 1)                        # [N, 32], -1 inactive
     num_sg = jnp.max(sg, axis=-1) + 1                    # [N]
 
@@ -172,22 +185,35 @@ def _tonal_fields(planes):
     win = s_pos >> 6                                     # [N, i]
     j16 = jnp.arange(16)
     in_win = win[:, None, :] == j16[None, :, None]       # [N, j, i]
-    cnt = jnp.einsum("nsi,nji->nsj", in_sg.astype(jnp.int32),
-                     in_win.astype(jnp.int32))           # [N, s, j]
+    cnt = jnp.einsum("nsi,nji->nsj", in_sg.astype(jnp.float32),
+                     in_win.astype(jnp.float32),
+                     precision=hi).astype(jnp.int32)     # [N, s, j]
     band_any = (cnt.reshape(n, 32, 4, 4).sum(-1) > 0)    # [N, s, b]
     cw = jnp.where(band_any[:, :, j16 >> 2] & sg_used[:, :, None], 3, 0)
 
-    # member VLC codes/bits (coding mode fixed to VLC, :484-487)
+    # member VLC codes/bits (coding mode fixed to VLC, :484-487) — per-sel
+    # step arithmetic selected by (qsel == sel) masks; the former
+    # _VLC_CODE[qsel, midx] per-element gather dominated the whole pack
+    # stage on the v5e
     t7 = jnp.arange(7)
     midx = _vlc_idx(s_mant)                              # [N, i, 7]
     qsel = jnp.clip(s_quant - 1, 0, 6)[..., None]
-    mcode = _VLC_CODE[qsel, midx]
+    mcode = jnp.zeros(midx.shape, jnp.uint32)
+    mbits_raw = jnp.zeros(midx.shape, jnp.int32)
+    for sel in range(7):
+        b_s, c_s = _vlc_arith(midx, sel)
+        is_s = qsel == sel
+        mcode = jnp.where(is_s, c_s, mcode)
+        mbits_raw = jnp.where(is_s, b_s, mbits_raw)
     mbits = jnp.where(s_act[..., None] & (t7 < s_ln[..., None]),
-                      _VLC_BITS[qsel, midx], 0)
+                      mbits_raw, 0)
     member_bits = jnp.where(s_act, 12 + mbits.sum(-1), 0)  # [N, i]
 
-    mwin = jnp.einsum("nsi,nji,ni->nsj", in_sg.astype(jnp.int32),
-                      in_win.astype(jnp.int32), member_bits)  # M(s,j) bits
+    # member bits <= 103 and <= 32 members: all sums << 2^24, f32 exact
+    mwin = jnp.einsum("nsi,nji,ni->nsj", in_sg.astype(jnp.float32),
+                      in_win.astype(jnp.float32),
+                      member_bits.astype(jnp.float32),
+                      precision=hi).astype(jnp.int32)    # M(s,j) bits
     sg_bits = jnp.where(sg_used, 10 + (cw + mwin).sum(-1), 0)
     head_bits = 5 + jnp.where(num_sg > 0, 2, 0)
     sg_start = head_bits[:, None] + jnp.cumsum(sg_bits, -1) - sg_bits
@@ -202,7 +228,9 @@ def _tonal_fields(planes):
     same_before = (segkey[:, None, :] == segkey[:, :, None]) \
         & (m32[None, :] < m32[:, None])[None]            # [N, i, j]
     mem_prefix = jnp.einsum("nij,nj->ni",
-                            same_before.astype(jnp.int32), member_bits)
+                            same_before.astype(jnp.float32),
+                            member_bits.astype(jnp.float32),
+                            precision=hi).astype(jnp.int32)
     flat_region = mem_region.reshape(n, 32 * 16)
     idx = jnp.clip(sg, 0, 31) * 16 + jnp.clip(win, 0, 15)
     moff = jnp.take_along_axis(flat_region, idx, axis=1) + mem_prefix
@@ -471,17 +499,21 @@ def pack_device(planes, frame_bytes, js=False):
     elif js:
         js1_flags[1] = True
 
+    # a non-JS channel only ever owns `half` bytes of the frame; the JS
+    # boundary moves per frame (M/S byte shift), so those buffers span the
+    # whole frame.  The deposit's one-hot work is K x words — halving the
+    # word span halves the stage.
+    span = frame_bytes if js else half
     bufs = []
     for p, js1 in zip(chans, js1_flags):
         v, w, o = channel_fields(p, js1=js1)
-        bufs.append(deposit_fields(v, w, o, frame_bytes + _SLACK)
-                    [:, :frame_bytes])
+        bufs.append(deposit_fields(v, w, o, span + _SLACK,
+                                   frame_chunk=128)[:, :span])
 
     if not js:
         if c == 1:
-            return jnp.concatenate([bufs[0][:, :half]] * 2, axis=1)
-        return jnp.concatenate([bufs[0][:, :half], bufs[1][:, :half]],
-                               axis=1)
+            return jnp.concatenate([bufs[0]] * 2, axis=1)
+        return jnp.concatenate([bufs[0], bufs[1]], axis=1)
 
     j = jnp.arange(frame_bytes)[None, :]
     boundary = (half + shift)[:, None]

@@ -7,12 +7,13 @@ distance to the rounding boundary, flipping individual roundings while that
 moves the quantized block energy toward the original energy.
 
 The greedy pass is a true sequential dependence (each accepted flip changes
-the running energy), so it runs as a `lax.scan` over the rank-ordered
-candidate axis with the running energy as carry — one fused scan for every
-(channel, frame, bfu, wordlen) lane at once.  Candidate ordering is a
-stable comparison-count rank (ties broken by element index; the reference's
-std::sort is unstable, so tie order is unspecified there) applied through
-exact one-hot MXU permutations — no sorting network.
+the running energy), so it runs as a fully-unrolled `lax.scan` over the
+rank-ordered candidate axis with the running energy as carry — one fused
+scan for every (channel, frame, bfu, wordlen) lane at once.  Candidate
+ordering is a stable multi-operand `lax.sort` by |delta| (ties broken by
+element index; the reference's std::sort is unstable, so tie order is
+unspecified there); integer side-operands sort exactly, so no float
+round-trip touches the greedy inputs.
 """
 import jax
 import jax.numpy as jnp
@@ -91,42 +92,25 @@ def quant_blocks(scaled, valid, mul, ea_mask, aux=None):
     elig = cand & jnp.where(up[..., None], elig_up,
                             jnp.where(dn[..., None], elig_dn, False))
 
-    # Candidates process in |delta|-ascending order.  Instead of a sorting
-    # network, compute each element's stable RANK by comparison count and
-    # move the (small-integer) greedy inputs through an exact one-hot
-    # permutation on the MXU (Precision.HIGHEST keeps f32 exact; every row
-    # selects a single element, so sums are exact).  accept travels back
-    # through the transposed permutation; nothing else needs unsorting.
+    # Candidates process in |delta|-ascending order.  A stable multi-operand
+    # lax.sort carries the (integer) greedy inputs into rank order exactly —
+    # ints sort losslessly, stability reproduces the former
+    # comparison-count rank's index tie-break, and nothing materializes the
+    # [rows, L, L] one-hot permutation the previous MXU formulation needed
+    # (which dominated quant_tensors on the v5e).
     key = jnp.where(cand, jnp.abs(flat(delta)), jnp.inf)
-    li = jnp.arange(L)
-    less = (key[..., None, :] < key[..., :, None]) \
-        | ((key[..., None, :] == key[..., :, None])
-           & (li[None, :] < li[:, None]))
-    rank = jnp.sum(less, axis=-1).astype(jnp.int32)       # [rows, L]
-    perm = (rank[..., None, :] == li[:, None]) \
-        .astype(jnp.bfloat16)                             # [rows, k, j]
-
-    # the permuted values are small ints (m^2 <= 1089): byte-split them so
-    # a native bf16 MXU matmul stays exact (0..255 and 0/1 are exact bf16;
-    # each one-hot row selects a single element, so f32 accumulation of one
-    # product is exact), then recombine
+    li = jnp.arange(L, dtype=jnp.int32)
+    iota = jnp.broadcast_to(li, key.shape)
     msq = mant * mant
     nsq = m_new * m_new
-    chans = [msq >> 8, msq & 0xFF, nsq >> 8, nsq & 0xFF,
-             elig.astype(jnp.int32)]
+    ops = [key, iota, msq, nsq, elig.astype(jnp.int32)]
     if aux is not None:
-        auxf = flat(aux)
-        # aux values are small signed ints (VLC bit deltas, |d| < 64);
-        # offset by 128 keeps the bf16 byte-exactness argument intact
-        chans.append(auxf + 128)
-    packed = jnp.stack(chans, axis=-1).astype(jnp.bfloat16)
-    sorted_p = jnp.einsum("rkj,rjc->rkc", perm, packed,
-                          preferred_element_type=jnp.float32)
-    msq_s = sorted_p[..., 0] * 256.0 + sorted_p[..., 1]
-    nsq_s = sorted_p[..., 2] * 256.0 + sorted_p[..., 3]
-    a = msq_s * inv2f[..., None]
-    b = nsq_s * inv2f[..., None]
-    elig_s = sorted_p[..., 4] > 0.5
+        ops.append(flat(aux))
+    sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=True)
+    idx_s, msq_s, nsq_s, elig_i = sorted_ops[1:5]
+    a = msq_s.astype(scaled.dtype) * inv2f[..., None]
+    b = nsq_s.astype(scaled.dtype) * inv2f[..., None]
+    elig_s = elig_i > 0
 
     # e2 update terms, applied in the reference's exact float order:
     # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121)
@@ -136,23 +120,25 @@ def quant_blocks(scaled, valid, mul, ea_mask, aux=None):
         accept = elig_k & (jnp.abs(ex - e1f) < jnp.abs(e2_run - e1f))
         return jnp.where(accept, ex, e2_run), accept
 
+    # fully unrolled: L is static (<=128) and the body is ~6 elementwise
+    # ops on [rows]; as a rolled loop each step is its own dispatch with an
+    # HBM round-trip of the carry — measured 3-5x the whole kernel's cost
+    # on the v5e (tools/profile_quant.py)
     e2_fin, accept_s = jax.lax.scan(
         step, e2f, (jnp.moveaxis(elig_s, -1, 0), jnp.moveaxis(a, -1, 0),
-                    jnp.moveaxis(b, -1, 0)))
+                    jnp.moveaxis(b, -1, 0)), unroll=True)
     accept_s = jnp.moveaxis(accept_s, 0, -1)
     err = (e1f / e2_fin).reshape(batch_shape)
 
     if aux is not None:
-        # cost mode: no mantissas, no inverse permutation — only the sum of
-        # aux over accepted flips (exact: the permuted slot holds aux+128,
-        # accepted slots contribute (aux_s - 128))
-        aux_s = sorted_p[..., 5] - 128.0
-        aux_sum = jnp.sum(jnp.where(accept_s, aux_s, 0.0), axis=-1)
+        # cost mode: no mantissas, no unsorting — only the sum of aux over
+        # accepted flips
+        aux_sum = jnp.sum(jnp.where(accept_s, sorted_ops[5], 0), axis=-1)
         return err, aux_sum.astype(jnp.int32).reshape(batch_shape)
 
-    accept = jnp.einsum("rkj,rk->rj", perm,
-                        accept_s.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32) > 0.5
-    mant = jnp.where(accept, m_new, mant)
+    # unsort `accept` by a second stable sort keyed on the carried indices
+    _, accept_i = jax.lax.sort((idx_s, accept_s.astype(jnp.int32)),
+                               dimension=-1, num_keys=1, is_stable=True)
+    mant = jnp.where(accept_i > 0, m_new, mant)
     mant = mant.reshape(batch_shape + (L,))
     return jnp.where(valid, mant, 0), err

@@ -120,7 +120,10 @@ def main():
     from atracdenc_tpu.models.atrac3.encoder import encode_frames
     from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
 
-    streams, channels, nframes = 32, 2, 256
+    # 64x256 = 16,384 frames/batch: the sweep (tools/sweep_at3_batch.py,
+    # 2026-08-20 v5e) peaks here; 32,768-frame batches crash the remote
+    # compile helper on this relay, 8,192 leaves ~20% on the table
+    streams, channels, nframes = 64, 2, 256
     cpu_fallback = jax.default_backend() == "cpu"
     if cpu_fallback:
         # keep the CPU-fallback run finishable on a 1-core host; the
