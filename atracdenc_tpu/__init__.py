@@ -21,3 +21,18 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Dispatch-path discipline: module-level table constants in this package
+# are HOST numpy arrays, never jax.Arrays (see utils/npconst.py).  A
+# jax.Array captured as a jit closure constant is hoisted into a runtime
+# argument of the executable, and on the axon relay (remote TPU) the FIRST
+# such trace permanently drops the whole process off the C++ fast dispatch
+# path: every subsequent executable launch — related or not — synchronizes
+# with the device at ~25 ms per round trip (measured 0.03 ms -> 25 ms per
+# dispatch on the v5e relay; PERF.md "dispatch-path poisoning").  numpy
+# closure constants are baked into the HLO as literals instead — zero
+# per-call cost at any size.  (jax 0.9's jax_use_simplified_jaxpr_constants
+# flag also avoids the poisoning for small consts, but it breaks nested-jit
+# tracing of numpy consts — TypedNdArray has no .sharding — so this package
+# relies on the numpy-constant rule, enforced by
+# tests/test_dispatch_hygiene.py.)

@@ -10,6 +10,7 @@ masked, batched over all frames of all channels at once.
 """
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops import psy
@@ -32,13 +33,13 @@ def _at1_ath_long() -> np.ndarray:
     return out
 
 
-_ATH_LONG = jnp.asarray(_at1_ath_long(), jnp.float32)
-_SPECS_PER_BLOCK = jnp.asarray(T.SPECS_PER_BLOCK)
-_FIX_LONG = jnp.asarray(T.FIXED_BIT_ALLOC_LONG)
-_FIX_SHORT = jnp.asarray(T.FIXED_BIT_ALLOC_SHORT)
-_BFU_TO_BAND = jnp.asarray(T.BFU_TO_BAND)
-_BFU_AMOUNT = jnp.asarray(T.BFU_AMOUNT_TAB)
-_IOTA52 = jnp.arange(T.MAX_BFUS)
+_ATH_LONG = _npc(np.asarray(_at1_ath_long(), jnp.float32))
+_SPECS_PER_BLOCK = _npc(np.asarray(T.SPECS_PER_BLOCK))
+_FIX_LONG = _npc(np.asarray(T.FIXED_BIT_ALLOC_LONG))
+_FIX_SHORT = _npc(np.asarray(T.FIXED_BIT_ALLOC_SHORT))
+_BFU_TO_BAND = _npc(np.asarray(T.BFU_TO_BAND))
+_BFU_AMOUNT = _npc(np.asarray(T.BFU_AMOUNT_TAB))
+_IOTA52 = np.arange(T.MAX_BFUS, dtype=np.int32)
 
 # Boost walk order: (bits, position) sorted by bits then position
 # (multimap construction in atrac1_bitalloc.cpp:69-78).
@@ -203,11 +204,12 @@ def allocate(sfi, energy, short_flags, loudness, bfu_idx_const=0,
     start_idx = 7 if auto else bfu_idx_const - 1
     bfu_idx = jnp.full(loudness.shape, start_idx, jnp.int32)
 
-    wl = _bisect(sfi, energy, short_flags, loudness, _BFU_AMOUNT[bfu_idx])
+    bfu_amount = jnp.asarray(_BFU_AMOUNT)      # np const: tracer indexing
+    wl = _bisect(sfi, energy, short_flags, loudness, bfu_amount[bfu_idx])
     if auto:
         def round_fn(_, carry):
             bfu_idx, wl = carry
-            bfu_num = _BFU_AMOUNT[bfu_idx]
+            bfu_num = bfu_amount[bfu_idx]
             last_nz = jnp.max(jnp.where((wl > 0) & (_IOTA52 < bfu_num[..., None]),
                                         _IOTA52, -1), axis=-1)
             # lower_bound over the 8-entry table as a comparison count
@@ -218,12 +220,12 @@ def allocate(sfi, energy, short_flags, loudness, bfu_idx_const=0,
             repeat = used_idx < bfu_idx
             new_idx = jnp.where(repeat, bfu_idx - 1, bfu_idx)
             new_wl = _bisect(sfi, energy, short_flags, loudness,
-                             _BFU_AMOUNT[new_idx])
+                             bfu_amount[new_idx])
             wl = jnp.where(repeat[..., None], new_wl, wl)
             return new_idx, wl
 
         bfu_idx, wl = jax.lax.fori_loop(0, _SHRINK_ROUNDS - 1, round_fn,
                                         (bfu_idx, wl))
 
-    wl = _apply_boost(wl, _BFU_AMOUNT[bfu_idx])
+    wl = _apply_boost(wl, bfu_amount[bfu_idx])
     return bfu_idx, wl

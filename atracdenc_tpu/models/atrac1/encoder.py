@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops import psy, scale as scale_ops
@@ -20,11 +21,11 @@ from . import filterbank
 from .mdct import mdct_frames
 from .bitalloc import allocate
 
-_LOUD_CURVE = jnp.asarray(psy.create_loudness_curve(T.NUM_SAMPLES))
-_GATHER_LONG = jnp.asarray(T.GATHER_LONG)
-_GATHER_SHORT = jnp.asarray(T.GATHER_SHORT)
-_GATHER_MASK = jnp.asarray(T.GATHER_MASK)
-_BFU_TO_BAND = jnp.asarray(T.BFU_TO_BAND)
+_LOUD_CURVE = _npc(np.asarray(psy.create_loudness_curve(T.NUM_SAMPLES)))
+_GATHER_LONG = _npc(np.asarray(T.GATHER_LONG))
+_GATHER_SHORT = _npc(np.asarray(T.GATHER_SHORT))
+_GATHER_MASK = _npc(np.asarray(T.GATHER_MASK))
+_BFU_TO_BAND = _npc(np.asarray(T.BFU_TO_BAND))
 
 
 def _invert_spectrum(x):

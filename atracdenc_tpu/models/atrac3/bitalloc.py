@@ -18,6 +18,7 @@ run under one `lax.while_loop` that exits when no lane shrinks.
 """
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops.quant import quant_blocks
@@ -26,16 +27,16 @@ from . import tables as T
 _BISECT_STEPS = 11  # (28 / 2^k - 0.02) <= 0 at k = 11
 _MAX_WL = 8
 
-_ATH = jnp.asarray(T.ath_per_bfu(), jnp.float32)
-_SPECS = jnp.asarray(T.SPECS_PER_BLOCK)
-_FIX = jnp.asarray(T.FIXED_BIT_ALLOC.astype(np.float32))
-_XDIV = jnp.asarray(T.SFI_DIVISOR)
-_BFU_BAND = jnp.asarray(T.BFU_TO_BAND)
-_CLC_LEN = jnp.asarray(T.CLC_LENGTH_TAB)
-_MAXQ = jnp.asarray(T.MAX_QUANT)
-_VLC_BITS = jnp.asarray(T.VLC_BITS)
-_VLC_PAIR_RTAB = jnp.asarray(T.VLC_PAIR_RTAB)
-_IOTA32 = jnp.arange(T.MAX_BFUS)
+_ATH = _npc(np.asarray(T.ath_per_bfu(), jnp.float32))
+_SPECS = _npc(np.asarray(T.SPECS_PER_BLOCK))
+_FIX = _npc(np.asarray(T.FIXED_BIT_ALLOC.astype(np.float32)))
+_XDIV = _npc(np.asarray(T.SFI_DIVISOR))
+_BFU_BAND = _npc(np.asarray(T.BFU_TO_BAND))
+_CLC_LEN = _npc(np.asarray(T.CLC_LENGTH_TAB))
+_MAXQ = _npc(np.asarray(T.MAX_QUANT))
+_VLC_BITS = _npc(np.asarray(T.VLC_BITS))
+_VLC_PAIR_RTAB = _npc(np.asarray(T.VLC_PAIR_RTAB))
+_IOTA32 = np.arange(T.MAX_BFUS, dtype=np.int32)
 
 
 def _ea_groups():
@@ -132,9 +133,10 @@ def quant_tensors(scaled, valid_mask, use_pallas=None):
 
     # CLC cost (atrac3_bitstream.cpp:163-184): wl>1 -> len*blockSize;
     # wl==1 -> 4*blockSize/2; wl==0 -> 0 (and never used).
-    wl = jnp.arange(_MAX_WL)
-    clc = jnp.where(wl[None, :] > 1, _CLC_LEN[wl][None, :] * _SPECS[:, None],
-                    _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2))
+    wl = np.arange(_MAX_WL)
+    clc = jnp.asarray(np.where(wl[None, :] > 1,
+                               _CLC_LEN[wl][None, :] * _SPECS[:, None],
+                               _CLC_LEN[wl][None, :] * (_SPECS[:, None] // 2)))
 
     if use_pallas:
         import jax.extend.backend as jxb

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops.bitdeposit import deposit_fields
@@ -33,12 +34,12 @@ _SLACK = 64                  # TBitStream may overrun; the tail is truncated
                              # so any spill is < one field; deposit drops
                              # out-of-range words safely besides)
 
-_SPECS = jnp.asarray(T.SPECS_PER_BLOCK)
-_CLC_LEN = jnp.asarray(T.CLC_LENGTH_TAB)
-_VLC_CODE = jnp.asarray(T.VLC_CODE)
-_VLC_BITS = jnp.asarray(T.VLC_BITS)
-_CLC_RTAB = jnp.asarray(T.CLC_RTAB)
-_VLC_PAIR_RTAB = jnp.asarray(T.VLC_PAIR_RTAB)
+_SPECS = _npc(np.asarray(T.SPECS_PER_BLOCK))
+_CLC_LEN = _npc(np.asarray(T.CLC_LENGTH_TAB))
+_VLC_CODE = _npc(np.asarray(T.VLC_CODE))
+_VLC_BITS = _npc(np.asarray(T.VLC_BITS))
+_CLC_RTAB = _npc(np.asarray(T.CLC_RTAB))
+_VLC_PAIR_RTAB = _npc(np.asarray(T.VLC_PAIR_RTAB))
 
 
 def _mask_sign(v, w):

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops import psy, scale as scale_ops
@@ -27,10 +28,10 @@ from .mdct import mdct_frames, gain_divisors, first_level_scale
 from .bitalloc import quant_tensors, allocate, final_mantissas
 from .device_pack import pack_device
 
-_LOUD_CURVE = jnp.asarray(psy.create_loudness_curve(1024))
-_GATHER_IDX = jnp.asarray(T.GATHER_IDX)
-_GATHER_MASK = jnp.asarray(T.GATHER_MASK)
-_SCALE_TABLE = jnp.asarray(T.SCALE_TABLE)
+_LOUD_CURVE = _npc(np.asarray(psy.create_loudness_curve(1024)))
+_GATHER_IDX = _npc(np.asarray(T.GATHER_IDX))
+_GATHER_MASK = _npc(np.asarray(T.GATHER_MASK))
+_SCALE_TABLE = _npc(np.asarray(T.SCALE_TABLE))
 
 
 def band_frames(pcm):

@@ -20,6 +20,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from . import tables as T
@@ -48,7 +49,7 @@ _STICKY_MAX_INTER = 10.0
 _TRANSIENT_WINDOW = 3
 _MAX_CURVE_POINTS = 6
 
-_GAIN_LEVEL = jnp.asarray(T.GAIN_LEVEL)
+_GAIN_LEVEL = _npc(np.asarray(T.GAIN_LEVEL))
 
 
 @lru_cache(maxsize=None)
@@ -498,7 +499,7 @@ def gain_control(bands, ctx=None, next_head=None, debug=False):
     pre_sum = jnp.sum(jnp.where(sf < n_before[..., None], gain, 0.0), axis=-1)
     pre_mean = pre_sum / jnp.maximum(n_before, 1)
     rms_next_mod = jnp.where(
-        has_pts & (loc0 > 0), pre_mean / _GAIN_LEVEL[lev0],
+        has_pts & (loc0 > 0), pre_mean / jnp.asarray(_GAIN_LEVEL)[lev0],
         jnp.where(~has_pts, jnp.mean(gain, axis=-1), 0.0))
     rms_valid = (~has_pts) | (loc0 > 0)
 
@@ -521,10 +522,10 @@ def gain_control(bands, ctx=None, next_head=None, debug=False):
                        T.GAIN_LEVEL[15], T.GAIN_LEVEL[0])
     first_lev_before = jnp.where(has_pts, lev0, 4)
     err_before = jnp.abs(jnp.log2(
-        jnp.maximum(_GAIN_LEVEL[first_lev_before], 1e-9)
+        jnp.maximum(jnp.asarray(_GAIN_LEVEL)[first_lev_before], 1e-9)
         / jnp.maximum(desired, 1e-9)))
     err_after = jnp.abs(jnp.log2(
-        jnp.maximum(_GAIN_LEVEL[p0_level], 1e-9)
+        jnp.maximum(jnp.asarray(_GAIN_LEVEL)[p0_level], 1e-9)
         / jnp.maximum(desired, 1e-9)))
     keep_by_boundary = (err_after + 0.20) < err_before
     revert = ~keep_by_boundary & (score_after > score_before * 1.02)

@@ -16,14 +16,15 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops.mdct import mdct_matrix
 from . import tables as T
 
-_ENC_WIN = jnp.asarray(T.ENCODE_WINDOW)
-_DEC_WIN = jnp.asarray(T.DECODE_WINDOW)
-_GAIN_LEVEL = jnp.asarray(T.GAIN_LEVEL)
+_ENC_WIN = _npc(np.asarray(T.ENCODE_WINDOW))
+_DEC_WIN = _npc(np.asarray(T.DECODE_WINDOW))
+_GAIN_LEVEL = _npc(np.asarray(T.GAIN_LEVEL))
 
 
 @lru_cache(maxsize=None)
@@ -100,7 +101,7 @@ def gain_divisors(levels, locs, npoints):
 def first_level_scale(levels, npoints):
     """GainLevel[first point] or 1.0 when no points (gain_processor.h:97)."""
     lev0 = jnp.where(npoints > 0, levels[..., 0], T.EXPONENT_OFFSET)
-    return _GAIN_LEVEL[lev0]
+    return jnp.asarray(_GAIN_LEVEL)[lev0]
 
 
 def mdct_frames(bands, div=None, scale=None, prev_half=None):

@@ -19,6 +19,7 @@ vectorized over the 42 (quantizer, length) buckets and all frames at once.
 """
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops import scale as scale_ops
@@ -29,8 +30,8 @@ FLATNESS_THRESHOLD = 0.01
 MAX_TONAL_LEN = 5
 TONAL_BFU_FIRST = 8
 TONAL_BFU_LAST = 29          # exclusive
-_VLC_BITS = jnp.asarray(T.VLC_BITS)
-_IOTA32 = jnp.arange(32)
+_VLC_BITS = _npc(np.asarray(T.VLC_BITS))
+_IOTA32 = np.arange(32, dtype=np.int32)
 
 
 def flatness_per_bfu(mdct_energy, energy_floor=1e-12):

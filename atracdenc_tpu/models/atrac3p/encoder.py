@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from atracdenc_tpu.utils.npconst import _npc
 import numpy as np
 
 from atracdenc_tpu.ops import scale as scale_ops
@@ -26,10 +27,8 @@ from . import pqf
 from . import gha
 from .mdct import mdct_frames
 
-_GATHER_IDX = jnp.asarray(T.GATHER_IDX)
-_GATHER_MASK = jnp.asarray(T.GATHER_MASK)
-_SCALE_TABLE = jnp.asarray(T.SCALE_TABLE)
-_SPEC_LEN = jnp.asarray(T.SPEC_LEN)
+_GATHER_MASK = _npc(np.asarray(T.GATHER_MASK))
+_SCALE_TABLE = _npc(np.asarray(T.SCALE_TABLE))
 
 
 def band_frames(pcm):
@@ -41,11 +40,20 @@ def band_frames(pcm):
 
 
 def gather_qu_blocks(specs):
-    """[..., 2048] spectra -> padded QU blocks [..., 32, 128]."""
-    flat = _GATHER_IDX.reshape(-1)
-    vals = jnp.take_along_axis(
-        specs, jnp.broadcast_to(flat, specs.shape[:-1] + flat.shape), axis=-1)
-    return vals.reshape(specs.shape[:-1] + (32, 128)) * _GATHER_MASK
+    """[..., 2048] spectra -> padded QU blocks [..., 32, 128].
+
+    The QUs tile the spectrum with contiguous ranges (BLOCK_SIZE_TAB,
+    at3p_tables.h:58-76), so this is a static slice/pad composition — NOT
+    a gather (take_along_axis here cost ~39 ms/128-frame stream on the
+    v5e; static slices compile to plain copies, same fix as
+    models/atrac3/specblocks.py)."""
+    parts = []
+    for b in range(32):
+        s = int(T.SPECS_START[b])
+        ln = int(T.SPECS_PER_BLOCK[b])
+        parts.append(jnp.pad(specs[..., s:s + ln],
+                             [(0, 0)] * (specs.ndim - 1) + [(0, 128 - ln)]))
+    return jnp.stack(parts, axis=-2)
 
 
 def _qu_table_cost(mant, qu, tab_idx):
@@ -64,7 +72,14 @@ def _qu_table_cost(mant, qu, tab_idx):
         sign_bits = jnp.sum((grp != 0).astype(jnp.int32), axis=(-1, -2))
     shifts = (bits * np.arange(nc)).astype(np.int32)
     val = jnp.sum(t << shifts, axis=-1)       # [..., ncodes]
-    code_bits = jnp.sum(_SPEC_LEN[tab_idx, val], axis=-1)
+    # len[val] as a fused equality-sum over the (<=256-entry) codebook row —
+    # a per-element dynamic gather here serializes on TPU and made this
+    # costing the AT3P pipeline's hot stage (57 ms/128-frame stream)
+    nsyms = 1 << (bits * nc)
+    lens = jnp.asarray(T.SPEC_LEN[tab_idx, :nsyms])
+    code_bits = jnp.sum(
+        jnp.sum(jnp.where(val[..., None] == jnp.arange(nsyms), lens, 0),
+                axis=-1), axis=-1)
     group_bits = 0 if gs == 1 else ncodes // gs
     return code_bits + sign_bits + group_bits
 

@@ -86,14 +86,39 @@ def _quantize_wave(amp, phi_steps, freq):
     return sf, amp_q, ph
 
 
+@lru_cache(maxsize=None)
+def _wave_tables(length):
+    """cos/sin of 2*pi*f*i/2048 on the 10-bit FreqIndex grid: [1024, length].
+
+    Host numpy — baked into HLO (dispatch hygiene, atracdenc_tpu/__init__)."""
+    f = np.arange(1024, dtype=np.int64)[:, None]
+    i = np.arange(length, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((f * i) % 2048) / 2048.0
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def _wave_sum(freq, ph, amp, i_offset, length=128):
     """Sum of waves over samples [0, length): pos = (ph<<6) + (i+i_offset)*f.
-    freq/ph/amp: [..., W]; returns [..., length]."""
-    i = jnp.arange(length)
-    pos = ((ph[..., None] << 6) + (i + i_offset) * freq[..., None]) & 2047
-    waves = amp[..., None] * jnp.sin(
-        2.0 * np.pi * pos.astype(jnp.float32) / 2048.0)
-    return jnp.sum(waves, axis=-2)
+    freq/ph/amp: [..., W]; returns [..., length].
+
+    sin(alpha_w + 2*pi*f_w*i/2048) expands to two fixed [1024, length]
+    tables contracted with per-wave coefficients: 2 transcendentals per
+    WAVE (vs per sample) and the per-sample work lands on the MXU — the
+    elementwise form was the AT3P pipeline's hottest stage on the v5e
+    (12.5 ms/128-frame stream in gha.subtract alone)."""
+    cos_t, sin_t = _wave_tables(length)               # np [1024, length]
+    base = jnp.mod((ph << 6) + i_offset * freq, 2048)
+    alpha = (2.0 * np.pi / 2048.0) * base.astype(jnp.float32)
+    a = amp * jnp.sin(alpha)                          # pairs with cos_t
+    b = amp * jnp.cos(alpha)                          # pairs with sin_t
+    # scatter per-wave coefficients onto the 1024-bin grid (freqs within a
+    # lane are distinct — the 20-bin guard — so the sum never collides)
+    oh = (freq[..., None] == jnp.arange(1024)).astype(jnp.float32)
+    coef_a = jnp.sum(a[..., None] * oh, axis=-2)      # [..., 1024]
+    coef_b = jnp.sum(b[..., None] * oh, axis=-2)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(coef_a, cos_t, precision=hi)
+            + jnp.matmul(coef_b, sin_t, precision=hi))
 
 
 def _amp_of(planes):
@@ -603,7 +628,16 @@ def _env_mask(has_start, start, has_stop, stop, reg_offset):
     (atrac3plusdsp.c:109-135).  All args [..., 1]-broadcastable ints."""
     i = jnp.arange(128)
     hann = (1.0 - np.cos(2.0 * np.pi * np.arange(256) / 256.0)) * 0.5
-    hq = jnp.asarray(hann[[0, 32, 64, 96]], jnp.float32)   # rising quarter
+    hq = hann[[0, 32, 64, 96]].astype(np.float32)          # rising quarter
+
+    def hq_at(j):
+        # 4-entry ramp select as step arithmetic — a per-element gather
+        # into the table serializes on TPU (this pair of gathers was the
+        # hidden cost of gha.subtract, not the sin synthesis)
+        return jnp.where(j <= 0, float(hq[0]),
+                         jnp.where(j == 1, float(hq[1]),
+                                   jnp.where(j == 2, float(hq[2]),
+                                             float(hq[3]))))
 
     pos = (start << 2) - reg_offset
     fade_in = has_start & (pos > 0) & (pos <= 128)
@@ -612,7 +646,7 @@ def _env_mask(has_start, start, has_stop, stop, reg_offset):
     m_in = jnp.where(fade_in[..., None],
                      jnp.where(j < 0, 0.0,
                                jnp.where(edge[..., None] & (j < 4),
-                                         hq[jnp.clip(j, 0, 3)], 1.0)),
+                                         hq_at(j), 1.0)),
                      1.0)
 
     pos2 = ((stop + 1) << 2) - reg_offset
@@ -620,7 +654,7 @@ def _env_mask(has_start, start, has_stop, stop, reg_offset):
     k = i - (pos2[..., None] - 4)
     m_out = jnp.where(fade_out[..., None],
                       jnp.where(k < 0, 1.0,
-                                jnp.where(k < 4, hq[jnp.clip(3 - k, 0, 3)],
+                                jnp.where(k < 4, hq_at(3 - k),
                                           0.0)),
                       1.0)
     return m_in * m_out

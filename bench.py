@@ -16,6 +16,7 @@ device; only the final 384-byte frames are transferred (0.8 MB/batch vs the
 framing (96-byte OMA header) is the only host work left and is negligible.
 """
 import json
+import os
 import time
 
 import numpy as np

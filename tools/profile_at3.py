@@ -57,19 +57,19 @@ def main():
           f"({frames} stereo frames)")
 
     def timeit(name, fn, *a):
+        from tools._timing import measure, rtt, drain
+        if not hasattr(timeit, "_rtt"):
+            timeit._rtt = rtt()
         try:
-            out = jax.block_until_ready(fn(*a))   # compile + warm
+            dt = measure(fn, *a, iters=max(args.iters, 8),
+                         inner_rtt=timeit._rtt)
         except Exception as exc:                  # OOM at big batches: keep
             print(f"{name:28s}   FAILED: {str(exc)[:120]}")
             return None
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*a))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
         print(f"{name:28s} {dt * 1e3:9.2f} ms   "
-              f"{frames / dt:12.0f} frames/s-equiv")
+              f"{frames / max(dt, 1e-9):12.0f} frames/s-equiv")
+        out = fn(*a)
+        drain(out)
         return out
 
     # --- stage functions (each jitted standalone) ---

@@ -165,19 +165,17 @@ def main():
     for k, name in enumerate(names):
         fn = jax.jit(lambda xs, k=k: jnp.sum(
             jax.vmap(lambda p: pipeline(p, k))(xs)))
+        from tools._timing import measure, rtt
+        if prev == 0.0:
+            base_rtt = rtt()
         try:
-            jax.block_until_ready(fn(xs))
+            dt = measure(fn, xs, iters=max(args.iters, 4),
+                         inner_rtt=base_rtt)
         except Exception as exc:
             print(f"{name:18s} FAILED: {str(exc)[:100]}")
             continue
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(xs))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
         print(f"{name:18s} {dt * 1e3:9.2f} ms  (+{(dt - prev) * 1e3:8.2f} ms"
-              f")  {frames / dt:10.0f} f/s")
+              f")  {frames / max(dt, 1e-9):10.0f} f/s")
         prev = dt
         sys.stdout.flush()
 

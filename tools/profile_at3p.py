@@ -49,15 +49,20 @@ def main():
           f"E2E row batches {args.streams} streams (vmapped fused bytes)")
 
     def timeit(name, fn, *a):
-        out = jax.block_until_ready(fn(*a))
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*a))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        from tools._timing import measure, rtt
+        if not hasattr(timeit, "_rtt"):
+            timeit._rtt = rtt()
+        try:
+            dt = measure(fn, *a, iters=max(args.iters, 8),
+                         inner_rtt=timeit._rtt)
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:100]}")
+            return None
         print(f"{name:28s} {dt * 1e3:9.2f} ms   "
-              f"{frames / dt:12.0f} frames/s-equiv")
+              f"{frames / max(dt, 1e-9):12.0f} frames/s-equiv")
+        out = fn(*a)
+        from tools._timing import drain
+        drain(out)
         return out
 
     bands = timeit("pqf/bands", jax.jit(E.band_frames), x)
@@ -110,17 +115,11 @@ def main():
     xs = jnp.broadcast_to(x, (args.streams,) + x.shape)
     batched = jax.jit(lambda xs: jax.vmap(
         lambda p: E.encode_frames_bytes(p, 2, gha_mask=7))(xs))
-    out = jax.block_until_ready(batched(xs))
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(batched(xs))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    from tools._timing import measure
+    dt = measure(batched, xs, iters=max(args.iters, 4))
     print(f"{'E2E fused bytes (batched)':28s} {dt * 1e3:9.2f} ms   "
-          f"{args.streams * frames / dt:12.0f} frames/s "
+          f"{args.streams * frames / max(dt, 1e-9):12.0f} frames/s "
           f"({args.streams} streams)")
-    del out
 
 
 if __name__ == "__main__":

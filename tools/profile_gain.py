@@ -44,15 +44,20 @@ def main():
           f"({frames} stereo frames)")
 
     def timeit(name, fn, *a):
-        out = jax.block_until_ready(fn(*a))
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*a))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        from tools._timing import measure, rtt
+        if not hasattr(timeit, "_rtt"):
+            timeit._rtt = rtt()
+        try:
+            dt = measure(fn, *a, iters=max(args.iters, 8),
+                         inner_rtt=timeit._rtt)
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:100]}")
+            return None
         print(f"{name:28s} {dt * 1e3:9.2f} ms   "
-              f"{frames / dt:12.0f} frames/s-equiv")
+              f"{frames / max(dt, 1e-9):12.0f} frames/s-equiv")
+        out = fn(*a)
+        from tools._timing import drain
+        drain(out)
         return out
 
     bands = jax.block_until_ready(

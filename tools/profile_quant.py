@@ -39,13 +39,19 @@ def main():
     print(f"{n} channel-frames;  EA groups: {bitalloc._ea_groups()}")
 
     def timeit(name, fn, *a):
-        out = jax.block_until_ready(fn(*a))
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*a))
-            times.append(time.perf_counter() - t0)
-        print(f"{name:34s} {min(times) * 1e3:9.2f} ms")
+        from tools._timing import measure, rtt
+        if not hasattr(timeit, "_rtt"):
+            timeit._rtt = rtt()
+        try:
+            dt = measure(fn, *a, iters=max(args.iters, 8),
+                         inner_rtt=timeit._rtt)
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:100]}")
+            return None
+        print(f"{name:34s} {dt * 1e3:9.2f} ms")
+        out = fn(*a)
+        from tools._timing import drain
+        drain(out)
         return out
 
     timeit("plain_costs_xla", jax.jit(
