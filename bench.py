@@ -163,7 +163,7 @@ def main():
     if _on_tpu():
         at1_rate = max(at1_rate, _bench_at1(pcm[:8, :, :512 * 512],
                                             use_pallas=True))
-    at3p_rate = _bench_at3p(pcm[:4, :, :2048 * 128])
+    at3p_rate = _bench_at3p(pcm[:8, :, :2048 * 128])
 
     print(json.dumps({
         "metric": "atrac3_default_encode_throughput",
