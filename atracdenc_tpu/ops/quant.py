@@ -92,48 +92,73 @@ def quant_blocks(scaled, valid, mul, ea_mask, aux=None):
     elig = cand & jnp.where(up[..., None], elig_up,
                             jnp.where(dn[..., None], elig_dn, False))
 
-    # Candidates process in |delta|-ascending order.  A stable multi-operand
-    # lax.sort carries the (integer) greedy inputs into rank order exactly —
-    # ints sort losslessly, stability reproduces the former
-    # comparison-count rank's index tie-break, and nothing materializes the
-    # [rows, L, L] one-hot permutation the previous MXU formulation needed
-    # (which dominated quant_tensors on the v5e).
+    # Candidates process in |delta|-ascending order.  A stable lax.sort
+    # carries the greedy inputs into rank order exactly — ints sort
+    # losslessly, stability reproduces the former comparison-count rank's
+    # index tie-break.  The sort's data movement is the dominant cost of
+    # the whole EA pass on the v5e, so every integer side-input (mantissa,
+    # eligibility, sign of t, VLC bit delta) packs into ONE int32 operand;
+    # the float a/b energy terms are recomputed from the exact integer
+    # mantissas after the sort (bit-identical: same ints, same ops).
     key = jnp.where(cand, jnp.abs(flat(delta)), jnp.inf)
-    li = jnp.arange(L, dtype=jnp.int32)
-    iota = jnp.broadcast_to(li, key.shape)
-    msq = mant * mant
-    nsq = m_new * m_new
-    ops = [key, iota, msq, nsq, elig.astype(jnp.int32)]
+    auxf = flat(aux) if aux is not None else jnp.zeros_like(mant)
+    packed = (((mant + 128) << 13) | ((auxf + 1024) << 2)
+              | (elig.astype(jnp.int32) << 1) | (t > 0).astype(jnp.int32))
     if aux is not None:
-        ops.append(flat(aux))
-    sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=True)
-    idx_s, msq_s, nsq_s, elig_i = sorted_ops[1:5]
-    a = msq_s.astype(scaled.dtype) * inv2f[..., None]
-    b = nsq_s.astype(scaled.dtype) * inv2f[..., None]
-    elig_s = elig_i > 0
+        sorted_ops = jax.lax.sort([key, packed], dimension=-1, num_keys=1,
+                                  is_stable=True)
+        packed_s = sorted_ops[1]
+        idx_s = None
+    else:
+        li = jnp.arange(L, dtype=jnp.int32)
+        iota = jnp.broadcast_to(li, key.shape)
+        sorted_ops = jax.lax.sort([key, iota, packed], dimension=-1,
+                                  num_keys=1, is_stable=True)
+        idx_s, packed_s = sorted_ops[1], sorted_ops[2]
+    m_s = (packed_s >> 13) - 128
+    aux_s = ((packed_s >> 2) & 0x7FF) - 1024
+    elig_s = ((packed_s >> 1) & 1) > 0
+    tpos_s = (packed_s & 1) > 0
+    mn_up = jnp.where(m_s > 0, m_s + 1,
+                      jnp.where(m_s < 0, m_s - 1,
+                                jnp.where(tpos_s, 1, -1)))
+    mn_dn = jnp.where(m_s > 0, m_s - 1, jnp.where(m_s < 0, m_s + 1, m_s))
+    mn_s = jnp.where(up[..., None], mn_up, mn_dn)
+    a = (m_s * m_s).astype(scaled.dtype) * inv2f[..., None]
+    b = (mn_s * mn_s).astype(scaled.dtype) * inv2f[..., None]
 
     # e2 update terms, applied in the reference's exact float order:
-    # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121)
-    def step(e2_run, xs):
-        elig_k, a_k, b_k = xs
-        ex = (e2_run - a_k) + b_k
-        accept = elig_k & (jnp.abs(ex - e1f) < jnp.abs(e2_run - e1f))
-        return jnp.where(accept, ex, e2_run), accept
+    # ex = (e2 - m^2*inv2) + m'^2*inv2 (atrac_scale.cpp:96-98,118-121).
+    # On TPU the recurrence runs as the Pallas greedy_scan kernel (carry in
+    # registers, rows in the lane dim); elsewhere as a fully unrolled
+    # lax.scan.  Both apply the identical float ops in the identical order
+    # (tests/test_pallas_greedy.py pins equality).
+    import jax.extend.backend as jxb
 
-    # fully unrolled: L is static (<=128) and the body is ~6 elementwise
-    # ops on [rows]; as a rolled loop each step is its own dispatch with an
-    # HBM round-trip of the carry — measured 3-5x the whole kernel's cost
-    # on the v5e (tools/profile_quant.py)
-    e2_fin, accept_s = jax.lax.scan(
-        step, e2f, (jnp.moveaxis(elig_s, -1, 0), jnp.moveaxis(a, -1, 0),
-                    jnp.moveaxis(b, -1, 0)), unroll=True)
-    accept_s = jnp.moveaxis(accept_s, 0, -1)
+    if jxb.get_backend().platform == "tpu":
+        from atracdenc_tpu.ops.pallas_greedy import greedy_scan
+        e2_fin, accept_s = greedy_scan(a, b, elig_s, e1f, e2f)
+    else:
+        def step(e2_run, xs):
+            elig_k, a_k, b_k = xs
+            ex = (e2_run - a_k) + b_k
+            accept = elig_k & (jnp.abs(ex - e1f) < jnp.abs(e2_run - e1f))
+            return jnp.where(accept, ex, e2_run), accept
+
+        # fully unrolled: L is static (<=128) and the body is ~6 elementwise
+        # ops on [rows]; a rolled loop makes each step its own dispatch with
+        # an HBM round-trip of the carry
+        e2_fin, accept_s = jax.lax.scan(
+            step, e2f, (jnp.moveaxis(elig_s, -1, 0),
+                        jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)),
+            unroll=True)
+        accept_s = jnp.moveaxis(accept_s, 0, -1)
     err = (e1f / e2_fin).reshape(batch_shape)
 
     if aux is not None:
         # cost mode: no mantissas, no unsorting — only the sum of aux over
         # accepted flips
-        aux_sum = jnp.sum(jnp.where(accept_s, sorted_ops[5], 0), axis=-1)
+        aux_sum = jnp.sum(jnp.where(accept_s, aux_s, 0), axis=-1)
         return err, aux_sum.astype(jnp.int32).reshape(batch_shape)
 
     # unsort `accept` by a second stable sort keyed on the carried indices
