@@ -153,16 +153,36 @@ def _rms(x):
     return jnp.sqrt(jnp.mean(x * x, axis=-1))
 
 
+# Batcher odd-even mergesort network for 8 elements (19 compare-exchanges)
+_NET8 = ((0, 1), (2, 3), (4, 5), (6, 7),
+         (0, 2), (1, 3), (4, 6), (5, 7),
+         (1, 2), (5, 6),
+         (0, 4), (1, 5), (2, 6), (3, 7),
+         (2, 4), (3, 5),
+         (1, 2), (3, 4), (5, 6))
+
+
 def analyze_gain(region):
     """Upsampled analysis region [..., 2048] -> (gain [..., 32], lo, hi).
 
     AnalyzeGain with maxPoints=32 over [1024, 3072) plus the 8-micro-chunk
-    inter-quartile estimates (transient_detector.cpp:95-136)."""
+    inter-quartile estimates (transient_detector.cpp:95-136).
+
+    The quartiles come from a 19-comparator Batcher network on the 8
+    unstacked micro-chunk lanes: jnp.sort on a [.., 32, 8] minor axis was
+    the single hottest op of the whole gain stage on the v5e (~40 ms of
+    analyze_gain's 48 at the bench shape — tiny-trailing-dim sorts poison
+    the layout), while the network's min/max pairs on [.., 32] slices are
+    plain VPU code.  Order-statistic VALUES are identical to the sort's."""
     sub = region.reshape(region.shape[:-1] + (32, 64))
     gain = _rms(sub)
     micro = _rms(sub.reshape(sub.shape[:-1] + (8, 8)))
-    ms = jnp.sort(micro, axis=-1)
-    return gain, ms[..., 2], ms[..., 6]
+    xs = [micro[..., i] for i in range(8)]
+    for i, j in _NET8:
+        lo = jnp.minimum(xs[i], xs[j])
+        hi = jnp.maximum(xs[i], xs[j])
+        xs[i], xs[j] = lo, hi
+    return gain, xs[2], xs[6]
 
 
 def relation_to_idx(x):
