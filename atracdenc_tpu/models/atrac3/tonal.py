@@ -64,34 +64,41 @@ def extract(specs, flatness):
     blocks = specblocks.to_blocks(specs)
     absb = jnp.abs(blocks) * jnp.asarray(T.GATHER_MASK)
 
-    # score[start, len] = sum_{k < len} |spec[start+k]| via shifted cumsums
-    # (static slices per run length); out-of-block candidates are invalid.
-    # C picks the first strictly-greater candidate in (start asc, len asc)
-    # order (atrac3denc.cpp:610-621).  Reducing per run length and folding
-    # the 5 candidates keeps that order — max score, then min start, then
-    # min len — without ever materializing the [..., 32, 128, 5] score
-    # tensor (10 GB at a 32-stream batch; each per-length plane is an
-    # elementwise view of the cumsum that XLA fuses into the argmax).
+    # score[start, len] = sum_{k < len} |spec[start+k]| via shifted cumsums;
+    # out-of-block candidates are invalid.  C picks the first strictly-
+    # greater candidate in (start asc, len asc) order (atrac3denc.cpp:
+    # 610-621).  |spec| >= 0 makes score NONDECREASING in len, so the
+    # selection collapses to one reduction: per start, the max-over-len is
+    # the full-length score (len capped at the block end) and the chosen
+    # len is the smallest achieving it — i.e. last nonzero |spec| in the
+    # window; across starts, argmax's first-max rule IS the min-start
+    # tie-break.  One [.., 32, 128] score tensor replaces the former
+    # 5-length argmax loop (~40 passes -> ~6; the loop was the hottest
+    # part of the tonal stage on the v5e).  Bit-equality holds because the
+    # masked |spec| padding adds +0.0 to the cumsum, so the capped
+    # full-length score is bitwise the plateau value the per-length
+    # formulation computed.
     cum = jnp.cumsum(absb, axis=-1)                       # [..., 32, 128]
     pad = jnp.pad(cum, [(0, 0)] * (cum.ndim - 1) + [(1, 0)])
     starts = jnp.arange(128)
     spb = jnp.asarray(T.SPECS_PER_BLOCK)
-    best_score = jnp.full(cum.shape[:-1], -1.0, cum.dtype)
-    best_start = jnp.zeros(cum.shape[:-1], jnp.int32)
-    best_len = jnp.ones(cum.shape[:-1], jnp.int32)
-    for ln_i in range(1, MAX_TONAL_LEN + 1):
-        # score_L[..., start] = cum[start+L-1] - cum[start-1]
-        s = jnp.pad(pad[..., ln_i:],
-                    [(0, 0)] * (cum.ndim - 1) + [(0, ln_i - 1)],
-                    constant_values=0)[..., :128] - pad[..., :-1]
-        s = jnp.where(starts + ln_i <= spb[:, None], s, -1.0)
-        idx = jnp.argmax(s, axis=-1).astype(jnp.int32)    # first == min start
-        sc = jnp.max(s, axis=-1)        # == s[argmax]; reduce, not gather
-        # len ascends, so equal (score, start) keeps the earlier length
-        better = (sc > best_score) | ((sc == best_score) & (idx < best_start))
-        best_score = jnp.where(better, sc, best_score)
-        best_start = jnp.where(better, idx, best_start)
-        best_len = jnp.where(better, ln_i, best_len)
+    ext = jnp.concatenate(
+        [cum, jnp.repeat(cum[..., -1:], MAX_TONAL_LEN - 1, axis=-1)],
+        axis=-1)
+    score = ext[..., MAX_TONAL_LEN - 1:] - pad[..., :-1]  # [..., 32, 128]
+    score = jnp.where(starts < spb[:, None], score, -1.0)
+    best_start = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    best_score = jnp.max(score, axis=-1)
+    # window |values| at the chosen start (masked |spec| is 0 beyond the
+    # block, so the last-nonzero rule also caps len at the block end)
+    k128 = jnp.arange(128)
+    sel_w = k128[None, :] - best_start[..., None]         # [..., 32, 128]
+    offs = jnp.arange(MAX_TONAL_LEN)
+    va = jnp.stack(
+        [jnp.sum(jnp.where(sel_w == k, absb, 0.0), axis=-1)
+         for k in range(MAX_TONAL_LEN)], axis=-1)         # [..., 32, 5]
+    best_len = jnp.maximum(
+        jnp.max(jnp.where(va > 0, offs + 1, 0), axis=-1), 1).astype(jnp.int32)
 
     active = gate & (best_score > 0.0)
     start_abs = jnp.asarray(T.SPECS_START) + best_start
