@@ -147,7 +147,15 @@ def quant_tensors(scaled, valid_mask, use_pallas=None):
         clc = jnp.broadcast_to(clc, err.shape).astype(jnp.int32)
         return {"err": err, "clc": clc, "vlc": vlc}
 
-    err, vlc_single, pair1 = _plain_costs_xla(scaled, valid_mask)
+    # the plain 8-lane memo: on TPU the Pallas kernel reads each block once
+    # (17 vs 36 ms at the 64x258 bench shape, outputs bit-equal after the
+    # sanitize below — the kernel sanitizes inline); elsewhere the XLA
+    # broadcast form
+    import jax.extend.backend as jxb
+    if jxb.get_backend().platform == "tpu":
+        err, vlc_single, pair1 = _plain_costs_pallas(scaled, valid_mask)
+    else:
+        err, vlc_single, pair1 = _plain_costs_xla(scaled, valid_mask)
     clc = jnp.broadcast_to(clc, err.shape).astype(jnp.int32)
 
     x = scaled[..., :, None, :]                        # [..., 32, 1, 128]

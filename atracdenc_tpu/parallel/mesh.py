@@ -60,10 +60,10 @@ def encode_batch_sharded(pcm, mesh):
     return fn(jax.device_put(pcm, in_sharding))
 
 
-def encode_batch_at3(pcm):
+def encode_batch_at3(pcm, js=False, frame_bytes=384):
     """[S, C, T] PCM batch -> ATRAC3 default-mode frame planes."""
     return jax.vmap(lambda p: at3_encode(
-        p, frame_bytes=384, js=False,
+        p, frame_bytes=frame_bytes, js=js,
         no_gain_control=False, no_tonal=False))(pcm)
 
 
@@ -76,21 +76,47 @@ def encode_batch_at3_sharded(pcm, mesh):
     return fn(jax.device_put(pcm, in_sharding))
 
 
-def encode_batch_at3_bytes_sharded(pcm, mesh):
+def encode_batch_at3_bytes_sharded(pcm, mesh, js=False, frame_bytes=384):
     """Sharded ATRAC3 encode INCLUDING on-device serialization: the frame
     axis of the bit-deposit matmuls shards like any batch axis, so final
     frame bytes come out already distributed over the mesh.
 
-    pcm: [S, C, T] -> [S, F, 384] uint8 sharded over dp."""
+    pcm: [S, C, T] -> [S, F, frame_bytes] uint8 sharded over dp."""
     from atracdenc_tpu.models.atrac3.device_pack import pack_device_batch
 
     def enc(p):
-        return pack_device_batch(encode_batch_at3(p), 384, False)
+        return pack_device_batch(encode_batch_at3(p, js, frame_bytes),
+                                 frame_bytes, js)
 
     in_sharding = NamedSharding(mesh, P("dp", None, "sp"))
     out_sharding = NamedSharding(mesh, P("dp"))
     fn = jax.jit(enc, in_shardings=in_sharding, out_shardings=out_sharding)
     return fn(jax.device_put(pcm, in_sharding))
+
+
+def decode_batch_at1(planes):
+    """[S, ...] AT1 frame planes -> [S, C, T] PCM (batched JAX decoder)."""
+    from atracdenc_tpu.models.atrac1.decoder import decode_frames
+
+    return jax.vmap(decode_frames)(
+        planes["short_mask"], planes["wordlen"], planes["sfi"],
+        planes["mant"])
+
+
+def decode_batch_at1_sharded(planes, mesh, spec=P("dp")):
+    """Sharded AT1 decode.  The default shards streams only (dp): the QMF
+    synthesis convolutions then run unsplit per stream, which keeps the
+    output bit-identical to single-device execution.  A (dp, sp) spec on
+    the frame axis also compiles/runs (XLA inserts conv halo exchanges)
+    but boundary taps may differ by ~1 ulp — the same reason encode's
+    clip_* diagnostics are excluded from byte-equality (encode_batch)."""
+    in_sh = NamedSharding(mesh, spec)
+    out_sh = NamedSharding(mesh, P("dp"))
+    args = {k: jax.device_put(jnp.asarray(planes[k]), in_sh)
+            for k in ("short_mask", "wordlen", "sfi", "mant")}
+    fn = jax.jit(decode_batch_at1, in_shardings=(in_sh,),
+                 out_shardings=out_sh)
+    return fn(args)
 
 
 def dryrun(n_devices: int) -> None:
@@ -120,6 +146,27 @@ def dryrun(n_devices: int) -> None:
     assert frames3.shape == (s, t3 // 1024, 384)
     assert np.array_equal(np.asarray(ref3), np.asarray(frames3)), \
         "AT3 sharded bytes != unsharded bytes"
+    print("dryrun: AT1 planes + AT3 bytes byte-equal on the mesh",
+          flush=True)
+
+    # joint stereo: M/S matrixing, the loudness-ratio byte-budget shift and
+    # the reversed channel-1 deposit all ride the same shardings
+    js = encode_batch_at3_bytes_sharded(jnp.asarray(pcm3), mesh,
+                                        js=True, frame_bytes=192)
+    js1 = encode_batch_at3_bytes_sharded(jnp.asarray(pcm3), mesh1,
+                                         js=True, frame_bytes=192)
+    assert np.array_equal(np.asarray(js1), np.asarray(js)), \
+        "AT3 JS sharded bytes != unsharded bytes"
+    print("dryrun: AT3 JS bytes byte-equal on the mesh", flush=True)
+
+    # AT1 decode round trip (streams sharded over dp; see
+    # decode_batch_at1_sharded for why sp stays off the conv path here)
+    dec = decode_batch_at1_sharded(planes, mesh)
+    dec1 = decode_batch_at1_sharded(planes, mesh1)
+    assert np.array_equal(np.asarray(dec1), np.asarray(dec)), \
+        "AT1 sharded decode != unsharded decode"
+    print("dryrun: AT1 decode round-trip bit-equal on the mesh", flush=True)
 
     from atracdenc_tpu.models.atrac3p.encoder import dryrun_sharded as p_dry
     p_dry(mesh, mesh1)
+    print("dryrun: AT3P core equal on the mesh", flush=True)
