@@ -88,7 +88,9 @@ def fast_bands_ext(pcm, js):
 
     x = jnp.asarray(pcm)
     bands = np.asarray(band_frames(x))                 # [C, F, 4, 256]
-    if js:
+    if js and bands.shape[0] == 2:
+        # mono JS input has no side channel to matrix (encoder gate:
+        # `if js and c == 2`, models/atrac3/encoder.py)
         bands = np.stack([(bands[0] + bands[1]) * f32(0.5),
                           (bands[0] - bands[1]) * f32(0.5)])
     c, nfr = bands.shape[:2]
@@ -110,7 +112,7 @@ def exact_bands_ext(pcm, js):
         stale = np.zeros((pcm.shape[0], 1024), f32)
     ext = np.concatenate([pcm4, stale], axis=1)
     bands_ext = _analysis_tree(ext)
-    if js:
+    if js and bands_ext.shape[0] == 2:
         bands_ext = np.stack([(bands_ext[0] + bands_ext[1]) * f32(0.5),
                               (bands_ext[0] - bands_ext[1]) * f32(0.5)])
     return bands_ext
