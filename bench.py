@@ -176,6 +176,38 @@ def main():
     fps_pls = measure_at3(True) if _on_tpu() else 0.0
     fps = max(fps_xla, fps_pls)
 
+    # Diagnostics for the wall numbers above: the tunnel relay's D2H link
+    # fluctuates 6-41 MB/s over hours (measured 2026-08-20/21) and every
+    # codec's end-to-end rate is eventually link-bound, so record the
+    # link speed at measurement time plus the chip-only AT3 rate
+    # (RTT-corrected dispatch drain, tools/_timing) — the number that
+    # reflects the encoder itself rather than the relay's mood.
+    d2h_mbps = 0.0
+    fps_compute = 0.0
+    if _on_tpu():
+        try:
+            # a FRESH output buffer per fetch: device_get of the same
+            # jax.Array is served from its cached host copy after the
+            # first call and would measure nothing
+            pf = jax.jit(lambda a, s: a + s)
+            pbase = jnp.zeros(8 * 1024 * 1024, jnp.uint8)
+            jax.device_get(pf(pbase, np.uint8(1)))
+            t0 = time.perf_counter()
+            for i in range(3):
+                jax.device_get(pf(pbase, np.uint8(i)))
+            d2h_mbps = 8.0 * 3 / (time.perf_counter() - t0)
+        except Exception:
+            pass
+        try:
+            from tools._timing import measure as _tmeasure
+            batched = jax.jit(lambda xs: pack_device_batch(
+                jax.vmap(lambda p: encode_frames(
+                    p, frame_bytes=384, js=False, no_gain_control=False,
+                    no_tonal=False, use_pallas_rate=True))(xs), 384, False))
+            fps_compute = streams * nframes / _tmeasure(batched, x, iters=4)
+        except Exception:
+            pass
+
     at1_rate = _bench_at1(pcm[:8, :, :512 * 512])
     if _on_tpu():
         at1_rate = max(at1_rate, _bench_at1(pcm[:8, :, :512 * 512],
@@ -194,6 +226,8 @@ def main():
             "platform": jax.default_backend(),
             "at3_fps_xla_rate_ctl": round(fps_xla, 1),
             "at3_fps_pallas_rate_ctl": round(fps_pls, 1),
+            "at3_fps_compute_only": round(fps_compute, 1),
+            "d2h_link_mbps": round(d2h_mbps, 1),
             "atrac1_units_per_s": round(at1_rate, 1),
             "atrac1_vs_baseline": round(at1_rate / REF_AT1_UNITS_PER_S, 2),
             "at3p_gha_frames_per_s": round(at3p_rate, 1),
