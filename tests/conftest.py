@@ -20,13 +20,20 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 
 def _machine_tag():
+    # hash BOTH the model name and the flags line: two hosts can share a
+    # flags list while generating incompatible AOT code (a flags-only tag
+    # collided across a VM migration on 2026-08-21 and the stale entries
+    # segfaulted the suite at load)
     import hashlib
     import platform
     try:
+        sig = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")) and len(sig) < 2:
+                    sig.append(line.strip())
+        if sig:
+            return hashlib.sha1("|".join(sorted(sig)).encode()).hexdigest()[:12]
     except OSError:
         pass
     return platform.machine()
