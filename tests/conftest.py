@@ -5,6 +5,35 @@ validated on a virtual CPU mesh exactly the way the reference validates
 multi-part logic with fake backends (reference: test/ut/encode_ut.cpp).
 """
 import os
+import sys
+
+# The axon site hook registers its PJRT plugin at interpreter startup when
+# PALLAS_AXON_POOL_IPS is set and the TPU relay claim succeeds.  A
+# successful registration routes XLA:CPU compiles through the remote-
+# compile helper, whose output targets the SERVER's CPU features —
+# compiles slow 4x and the suite segfaulted twice inside
+# backend_compile_and_load on a plain elementwise op (2026-08-21).  The
+# hook ran before this file, so the only clean escape is re-exec without
+# the gate variable; the marker env var prevents a loop.  The re-exec
+# lives in pytest_configure (below): at conftest-import time pytest's fd
+# capture already owns fd 1, and an exec'd child would write its entire
+# report into the dead capture tempfile.
+
+
+def pytest_configure(config):
+    if not (os.environ.get("PALLAS_AXON_POOL_IPS")
+            and not os.environ.get("ATRACDENC_CPU_REEXEC")):
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    _env = dict(os.environ, ATRACDENC_CPU_REEXEC="1", JAX_PLATFORMS="cpu")
+    _env.pop("PALLAS_AXON_POOL_IPS", None)
+    # re-invoke via -m (argv[1:] carries the pytest args for both the
+    # console script and `python -m pytest` entry styles)
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], _env)
+
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
