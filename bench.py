@@ -65,7 +65,7 @@ def _pipeline_rate(batched, x, n_items, iters=6, depth=2):
     return n_items / ((time.perf_counter() - t0) / iters)
 
 
-def _bench_at1(pcm, use_pallas=False):
+def _bench_at1(pcm, use_pallas=False, compute_only=False):
     import jax
     import jax.numpy as jnp
     from atracdenc_tpu.models.atrac1.encoder import encode_frames
@@ -82,10 +82,16 @@ def _bench_at1(pcm, use_pallas=False):
         return pack_device(merged)
 
     batched = jax.jit(lambda xs: jax.vmap(one)(xs))
+    if compute_only:
+        # chip-only rate (RTT-corrected dispatch drain): at 212 B/unit the
+        # tunnel's D2H link saturates long before the chip does, so the
+        # wall number mostly measures the relay — this one measures AT1
+        from tools._timing import measure as _tmeasure
+        return units / _tmeasure(batched, x, iters=4)
     return _pipeline_rate(batched, x, units)
 
 
-def _bench_at3p(pcm):
+def _bench_at3p(pcm, compute_only=False):
     """Full-GHA AT3P, stream-vmapped fused device path: PQF, GHA tonal
     model, MDCT, VLC costing, numQU shrink AND serialization in one jit
     (encoder.encode_frames_bytes); only frame bytes leave the chip."""
@@ -98,6 +104,9 @@ def _bench_at3p(pcm):
     x = jnp.asarray(pcm)
     batched = jax.jit(lambda xs: jax.vmap(
         lambda p: encode_frames_bytes(p, c, gha_mask=7))(xs))
+    if compute_only:
+        from tools._timing import measure as _tmeasure
+        return s * nframes / _tmeasure(batched, x, iters=4)
     return _pipeline_rate(batched, x, s * nframes)
 
 
@@ -209,10 +218,22 @@ def main():
             pass
 
     at1_rate = _bench_at1(pcm[:8, :, :512 * 512])
+    at1_compute = at3p_compute = 0.0
     if _on_tpu():
         at1_rate = max(at1_rate, _bench_at1(pcm[:8, :, :512 * 512],
                                             use_pallas=True))
+        try:
+            at1_compute = _bench_at1(pcm[:8, :, :512 * 512],
+                                     use_pallas=True, compute_only=True)
+        except Exception:
+            pass
     at3p_rate = _bench_at3p(pcm[:8, :, :2048 * 128])
+    if _on_tpu():
+        try:
+            at3p_compute = _bench_at3p(pcm[:8, :, :2048 * 128],
+                                       compute_only=True)
+        except Exception:
+            pass
 
     print(json.dumps({
         "metric": "atrac3_default_encode_throughput",
@@ -230,6 +251,10 @@ def main():
             "d2h_link_mbps": round(d2h_mbps, 1),
             "atrac1_units_per_s": round(at1_rate, 1),
             "atrac1_vs_baseline": round(at1_rate / REF_AT1_UNITS_PER_S, 2),
+            "at1_units_per_s_compute_only": round(at1_compute, 1),
+            "at1_vs_baseline_compute_only": round(
+                at1_compute / REF_AT1_UNITS_PER_S, 2),
+            "at3p_fps_compute_only": round(at3p_compute, 1),
             "at3p_gha_frames_per_s": round(at3p_rate, 1),
             "at3p_vs_gha_off_oracle": round(
                 at3p_rate / REF_AT3P_FRAMES_PER_S, 2),
